@@ -1,0 +1,377 @@
+"""PageRank power iteration, Spark-first.
+
+Semantics match the reference engine exactly (golden-validated; see
+/root/reference/Pagerank/src/pagerank32c.c:413-533 and SURVEY.md §0):
+
+    pi_0      = 1/n
+    pi_{k+1}[i] = c * ( sum_{j->i} pi_k[j]/outdeg(j)  +  danglingMass_k / n )
+                  + (1-c)/n * totalMass_k
+    stop when L1(pi_{k+1} - pi_k) < eps   (reference `delta < eps`,
+                                           src/pagerank32c.c:858)
+    final L1 normalize                     (getPagrnk_*, :771-785)
+
+The Google matrix is never materialized: dangling rows and the teleport
+rank-1 term are the two scalars the reference folds algebraically
+(srcUnroll/pagerank32c.c:455-459). totalMass is carried exactly (it is 1.0 in
+exact arithmetic; tracking it reproduces the reference's matrix-vector product
+bit-for-bit to within fp tolerance).
+
+Two physical strategies:
+
+- ``mode="dataframe"`` — the fully distributed path: the SpMV is the
+  edges⋈ranks equi-join + groupBy(dst) sum (the distributed analog of the
+  reference's column-strided `getVectorPik` kernel). Scales to any vertex
+  count; 2 shuffles per iteration; per-iteration residual/dangling/total
+  scalars come from ONE cheap scan over the checkpointed state (delta, next
+  dangling mass, and total mass are fused into a single aggregate, mirroring
+  the reference's fused `getDelta` copy+residual kernel).
+
+- ``mode="csr"`` — the throughput path: edges are range-blocked by ``dst``
+  and persisted once; each iteration is a single map-only stage in which
+  every partition runs a NumPy scatter-add (partition-local CSR SpMV) over an
+  Arrow-broadcast rank vector, emitting one packed float64 block per
+  partition. Driver assembles the next vector. This is the SIMD analog of the
+  reference's NASM kernels (getVectorPik_*.nasm): vectorized inner loop, no
+  per-iteration shuffle. Appropriate while the rank vector fits in executor
+  memory (~1e8-1e9 vertices at 8 bytes each); beyond that, use "dataframe".
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from pagerank_spark.lineage import LineageWriter
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame          # (id: long, rank: double)
+    iterations: int
+    deltas: list[float]       # L1 residual per iteration
+    run_id: str
+    edges_per_sec_per_iter: float = 0.0
+    iter_seconds: list[float] = field(default_factory=list)
+
+
+class PageRank:
+    def __init__(
+        self,
+        c: float = 0.85,
+        eps: float = 1e-5,
+        max_iter: int = 200,
+        mode: str = "dataframe",
+        checkpoint_interval: int = 1,
+        catalog=None,
+        lineage: LineageWriter | None = None,
+        num_blocks: int | None = None,
+    ):
+        self.c = c
+        self.eps = eps
+        self.max_iter = max_iter
+        self.mode = mode
+        self.checkpoint_interval = checkpoint_interval
+        self.catalog = catalog
+        self.lineage = lineage
+        self.num_blocks = num_blocks
+
+    # ------------------------------------------------------------------ API
+    def run(
+        self,
+        edges: DataFrame,
+        n: int,
+        run_id: str | None = None,
+        resume: bool = False,
+    ) -> PageRankResult:
+        """edges: (src: long, dst: long), dense 0-based ids in [0, n)."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        if self.mode == "csr":
+            return self._run_csr(edges, n, run_id, resume)
+        return self._run_dataframe(edges, n, run_id, resume)
+
+    # ------------------------------------------------------- dataframe path
+    def _run_dataframe(
+        self, edges: DataFrame, n: int, run_id: str, resume: bool
+    ) -> PageRankResult:
+        spark = edges.sparkSession
+        c, eps = self.c, self.eps
+        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+        # outdegree + edge weights, built once. Partition edges by src so the
+        # per-iteration join only shuffles the (small) rank side.
+        degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        ew = (
+            edges.join(degrees, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+            .repartition(shuffle_p, "src")
+            .persist()
+        )
+        m = ew.count()  # materialize; also the per-iteration shuffle volume
+
+        # state: (id, rank, dangling). dangling carried as a column so the
+        # per-iteration stats need no join (fused like getDelta_*.nasm).
+        src_ids = degrees.select(F.col("src").alias("id"))
+        state = (
+            spark.range(0, n, 1, shuffle_p)
+            .select(F.col("id").cast("long"))
+            .join(src_ids.withColumn("nd", F.lit(True)), "id", "left")
+            .select(
+                "id",
+                F.lit(1.0 / n).alias("rank"),
+                F.coalesce(F.col("nd"), F.lit(False)).alias("non_dangling"),
+            )
+            .repartition(shuffle_p, "id")
+            .localCheckpoint(eager=True)
+        )
+        start_iter = 0
+        init = state.agg(
+            F.sum(F.when(~F.col("non_dangling"), F.col("rank"))).alias("dmass"),
+            F.sum("rank").alias("total"),
+        ).first()
+        dmass = float(init["dmass"] or 0.0)
+        total = float(init["total"])
+
+        if resume and self.catalog is not None:
+            resumed = self._try_resume(spark, run_id, shuffle_p)
+            if resumed is not None:
+                state, start_iter, dmass, total = resumed
+
+        deltas: list[float] = []
+        iter_secs: list[float] = []
+        it = start_iter
+        prev_state = None
+        for it in range(start_iter + 1, self.max_iter + 1):
+            t0 = time.time()
+            contribs = (
+                ew.join(state.select("id", "rank"), ew.src == F.col("id"))
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+            )
+            new_state = (
+                state.join(contribs, state.id == contribs.dst, "left")
+                .select(
+                    state.id,
+                    (
+                        F.lit(c)
+                        * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dmass / n))
+                        + F.lit((1.0 - c) / n * total)
+                    ).alias("rank"),
+                    state.rank.alias("old_rank"),
+                    "non_dangling",
+                )
+            )
+            new_state = new_state.localCheckpoint(eager=True)
+            stats = new_state.agg(
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+                F.sum(F.when(~F.col("non_dangling"), F.col("rank"))).alias("dmass"),
+                F.sum("rank").alias("total"),
+            ).first()
+            delta = float(stats["delta"])
+            dmass = float(stats["dmass"] or 0.0)
+            total = float(stats["total"])
+            if prev_state is not None:
+                prev_state.unpersist()
+            prev_state = state
+            state = new_state.select("id", "rank", "non_dangling")
+            deltas.append(delta)
+            wall = time.time() - t0
+            iter_secs.append(wall)
+            self._checkpoint_and_log(
+                spark, run_id, it, state, delta, dmass, total, m, wall
+            )
+            if delta < eps:
+                break
+
+        ranks = self._normalize(state.select("id", "rank"))
+        ew.unpersist()
+        tput = m / (sum(iter_secs) / len(iter_secs)) if iter_secs else 0.0
+        return PageRankResult(ranks, it, deltas, run_id, tput, iter_secs)
+
+    # -------------------------------------------------------------- csr path
+    def _run_csr(
+        self, edges: DataFrame, n: int, run_id: str, resume: bool
+    ) -> PageRankResult:
+        spark = edges.sparkSession
+        sc = spark.sparkContext
+        c, eps = self.c, self.eps
+        nblocks = self.num_blocks or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        block_size = (n + nblocks - 1) // nblocks
+
+        # One-time layout: block edges by dst range, persist. Weight folded
+        # into the edge (w = 1/outdeg(src)); within each task the SpMV is a
+        # NumPy scatter-add — the vectorized analog of getVectorPik_*.nasm.
+        degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        blocked = (
+            edges.join(degrees, "src")
+            .select(
+                "src",
+                "dst",
+                (F.lit(1.0) / F.col("outdeg")).alias("w"),
+                (F.col("dst") / F.lit(block_size)).cast("long").alias("block"),
+            )
+            .repartition(nblocks, "block")
+            .persist()
+        )
+        m = blocked.count()
+
+        # outdeg vector -> dangling mask, built distributed then collected
+        # once (n floats; the rank vector is broadcast anyway at this scale).
+        deg_rows = degrees.collect()
+        outdeg = np.zeros(n)
+        for r in deg_rows:
+            outdeg[r["src"]] = r["outdeg"]
+        dangling = outdeg == 0.0
+
+        pi = np.full(n, 1.0 / n)
+        start_iter = 0
+        if resume and self.catalog is not None:
+            resumed = self._try_resume_vector(spark, run_id, n)
+            if resumed is not None:
+                pi, start_iter = resumed
+
+        out_schema = StructType(
+            [
+                StructField("block", LongType(), False),
+                StructField("contrib", BinaryType(), False),
+            ]
+        )
+
+        deltas: list[float] = []
+        iter_secs: list[float] = []
+        it = start_iter
+        for it in range(start_iter + 1, self.max_iter + 1):
+            t0 = time.time()
+            rw = pi / np.where(outdeg > 0, outdeg, 1.0)
+            rw[dangling] = 0.0
+            b_rw = sc.broadcast(rw)
+
+            def spmv(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+                acc: dict[int, np.ndarray] = {}
+                rwv = b_rw.value
+                bs = block_size
+                for batch in batches:
+                    src = batch.column("src").to_numpy(zero_copy_only=False)
+                    dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                    blk = dst // bs
+                    for b in np.unique(blk):
+                        sel = blk == b
+                        a = acc.get(int(b))
+                        if a is None:
+                            a = acc.setdefault(int(b), np.zeros(bs))
+                        np.add.at(a, dst[sel] - b * bs, rwv[src[sel]])
+                if acc:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(list(acc.keys()), type=pa.int64()),
+                            pa.array([a.tobytes() for a in acc.values()]),
+                        ],
+                        names=["block", "contrib"],
+                    )
+
+            rows = blocked.select("src", "dst").mapInArrow(spmv, out_schema).collect()
+            contrib = np.zeros(n)
+            for row in rows:
+                b = row["block"]
+                arr = np.frombuffer(row["contrib"], dtype=np.float64)
+                lo = b * block_size
+                contrib[lo : lo + arr.shape[0]] += arr[: max(0, n - lo)]
+            b_rw.destroy()
+
+            dmass = pi[dangling].sum()
+            new = c * (contrib + dmass / n) + (1.0 - c) / n * pi.sum()
+            delta = float(np.abs(new - pi).sum())
+            pi = new
+            deltas.append(delta)
+            wall = time.time() - t0
+            iter_secs.append(wall)
+            if self.catalog is not None and it % self.checkpoint_interval == 0:
+                self._checkpoint_vector(spark, run_id, it, pi)
+            if self.lineage is not None:
+                self.lineage.log_iteration(
+                    run_id, it, rows_shuffled=m, residual_l1=delta, wall_time_s=wall,
+                    extra={"dangling_mass": dmass, "mode": "csr"},
+                )
+            if delta < eps:
+                break
+
+        pi = pi / np.abs(pi).sum()
+        blocked.unpersist()
+        tbl = pa.table({"id": np.arange(n, dtype=np.int64), "rank": pi})
+        ranks = spark.createDataFrame(tbl.to_pandas())
+        tput = m / (sum(iter_secs) / len(iter_secs)) if iter_secs else 0.0
+        return PageRankResult(ranks, it, deltas, run_id, tput, iter_secs)
+
+    # ------------------------------------------------------------- helpers
+    def _normalize(self, ranks: DataFrame) -> DataFrame:
+        total = float(ranks.agg(F.sum(F.abs(F.col("rank")))).first()[0])
+        return ranks.select("id", (F.col("rank") / F.lit(total)).alias("rank"))
+
+    def _checkpoint_and_log(
+        self, spark, run_id, it, state, delta, dmass, total, m, wall
+    ) -> None:
+        snap = None
+        if self.catalog is not None and it % self.checkpoint_interval == 0:
+            meta = self.catalog.write(
+                state,
+                f"pagerank_ckpt_{run_id}",
+                summary={
+                    "iteration": it,
+                    "delta": delta,
+                    "dmass": dmass,
+                    "total": total,
+                },
+            )
+            snap = meta.snapshot_id
+        if self.lineage is not None:
+            self.lineage.log_iteration(
+                run_id, it, rows_shuffled=m, residual_l1=delta, wall_time_s=wall,
+                snapshot=str(snap) if snap is not None else None,
+                extra={"dangling_mass": dmass, "total_mass": total, "mode": "dataframe"},
+                partition_counts=self.lineage.partition_counts(state)
+                if self.lineage.per_partition
+                else None,
+            )
+
+    def _try_resume(self, spark: SparkSession, run_id: str, shuffle_p: int):
+        table = f"pagerank_ckpt_{run_id}"
+        meta = self.catalog.current_meta(table)
+        if meta is None:
+            return None
+        df = (
+            self.catalog.read(spark, table)
+            .repartition(shuffle_p, "id")
+            .localCheckpoint(eager=True)
+        )
+        s = meta.summary
+        return df, int(s["iteration"]), float(s["dmass"]), float(s["total"])
+
+    def _checkpoint_vector(self, spark: SparkSession, run_id: str, it: int, pi: np.ndarray):
+        tbl = pa.table({"id": np.arange(pi.shape[0], dtype=np.int64), "rank": pi})
+        df = spark.createDataFrame(tbl.to_pandas())
+        self.catalog.write(df, f"pagerank_ckpt_{run_id}", summary={"iteration": it})
+
+    def _try_resume_vector(self, spark: SparkSession, run_id: str, n: int):
+        table = f"pagerank_ckpt_{run_id}"
+        meta = self.catalog.current_meta(table)
+        if meta is None:
+            return None
+        rows = self.catalog.read(spark, table).collect()
+        pi = np.zeros(n)
+        for r in rows:
+            pi[r["id"]] = r["rank"]
+        return pi, int(meta.summary["iteration"])

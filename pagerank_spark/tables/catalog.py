@@ -1,0 +1,172 @@
+"""Iceberg-style table layer: parquet data files + JSON snapshot metadata.
+
+No Iceberg runtime jar ships in this sandbox, so the engine implements the
+*substance* of the north rule — explicit partition specs, snapshot isolation,
+atomic commits, time travel, and snapshot-based resume — behind one small
+``Catalog`` API. A real Iceberg/Delta backend can be swapped in by
+reimplementing this module; nothing else in the engine touches the layout.
+
+Layout per table::
+
+    <warehouse>/<table>/
+        data/snap-<k>/part-*.parquet      # immutable data files for snapshot k
+        metadata/v<k>.json                # snapshot manifest (schema, files,
+                                          #   partition spec, parent, summary)
+        metadata/current.json             # atomically-replaced pointer
+
+Commit protocol (SURVEY.md §7 hard-parts list): write data files to the new
+snapshot dir, write the manifest, then ``os.replace`` the ``current.json``
+pointer — readers either see the old snapshot or the new one, never a torn
+write. A crash mid-commit leaves a dangling snap dir that the next commit
+ignores (the pointer was never flipped), which is exactly what resume needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class TableMeta:
+    table: str
+    snapshot_id: int
+    parent_id: int | None
+    schema_json: str
+    partition_spec: dict
+    data_dir: str
+    summary: dict = field(default_factory=dict)
+
+
+class Catalog:
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def _meta_dir(self, table: str) -> str:
+        return os.path.join(self.warehouse, table, "metadata")
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._meta_dir(table), "current.json")
+
+    # -- metadata ----------------------------------------------------------
+    def current_meta(self, table: str) -> TableMeta | None:
+        ptr = self._pointer(table)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            v = json.load(f)["current"]
+        return self.snapshot_meta(table, v)
+
+    def snapshot_meta(self, table: str, snapshot_id: int) -> TableMeta:
+        with open(os.path.join(self._meta_dir(table), f"v{snapshot_id}.json")) as f:
+            m = json.load(f)
+        return TableMeta(
+            table=table,
+            snapshot_id=m["snapshot_id"],
+            parent_id=m.get("parent_id"),
+            schema_json=m["schema_json"],
+            partition_spec=m.get("partition_spec", {}),
+            data_dir=m["data_dir"],
+            summary=m.get("summary", {}),
+        )
+
+    def snapshots(self, table: str) -> list[int]:
+        md = self._meta_dir(table)
+        if not os.path.isdir(md):
+            return []
+        out = []
+        for name in os.listdir(md):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def exists(self, table: str) -> bool:
+        return self.current_meta(table) is not None
+
+    # -- write (atomic commit) --------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        bucket_by: tuple[int, str] | None = None,
+        summary: dict | None = None,
+    ) -> TableMeta:
+        """Commit ``df`` as a new snapshot of ``table``.
+
+        mode="overwrite" replaces contents; mode="append" unions the parent
+        snapshot's files (files are immutable, so append = new files + old
+        file list in the new manifest). ``bucket_by=(n, col)`` repartitions by
+        hash of ``col`` into n buckets before writing, recording the spec so
+        readers know the physical distribution (the iceberg-ish analog of a
+        bucket partition transform).
+        """
+        prev = self.current_meta(table)
+        snapshot_id = (prev.snapshot_id + 1) if prev else 0
+        data_rel = os.path.join("data", f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}")
+        data_dir = os.path.join(self.warehouse, table, data_rel)
+        os.makedirs(self._meta_dir(table), exist_ok=True)
+
+        out = df
+        spec: dict = {}
+        if bucket_by is not None:
+            nbuckets, col = bucket_by
+            out = out.repartition(nbuckets, col)
+            spec["bucket"] = {"n": nbuckets, "column": col}
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+            spec["identity"] = list(partition_by)
+        writer.parquet(data_dir)
+
+        data_dirs = [data_rel]
+        if mode == "append" and prev is not None:
+            data_dirs = json.loads(prev.summary.get("data_dirs", "[]")) or [
+                os.path.relpath(prev.data_dir, os.path.join(self.warehouse, table))
+            ]
+            data_dirs = data_dirs + [data_rel]
+
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent_id": prev.snapshot_id if prev else None,
+            "timestamp_ms": int(time.time() * 1000),
+            "schema_json": df.schema.json(),
+            "partition_spec": spec,
+            "data_dir": data_rel,
+            "summary": {**(summary or {}), "data_dirs": json.dumps(data_dirs)},
+        }
+        mpath = os.path.join(self._meta_dir(table), f"v{snapshot_id}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = self._pointer(table) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"current": snapshot_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer(table))
+        return self.snapshot_meta(table, snapshot_id)
+
+    # -- read --------------------------------------------------------------
+    def read(
+        self, spark: SparkSession, table: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        meta = (
+            self.current_meta(table)
+            if snapshot_id is None
+            else self.snapshot_meta(table, snapshot_id)
+        )
+        if meta is None:
+            raise FileNotFoundError(f"table {table!r} does not exist in {self.warehouse}")
+        dirs = json.loads(meta.summary.get("data_dirs", "[]")) or [meta.data_dir]
+        paths = [os.path.join(self.warehouse, table, d) for d in dirs]
+        return spark.read.parquet(*paths)

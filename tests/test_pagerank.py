@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pagerank_spark.algorithms.pagerank import PageRank
+from pagerank_spark.oracle import pagerank_numpy
+from pagerank_spark.sources.graphfile import (
+    edges_from_numpy,
+    read_graph_file,
+)
+from tests.conftest import GOLDEN_GRAPH, micro_graphs
+
+
+def ranks_to_numpy(df, n):
+    out = np.zeros(n)
+    for row in df.collect():
+        out[row["id"]] = row["rank"]
+    return out
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "csr"])
+def test_golden_test1(spark, golden, mode):
+    """Engine reproduces the reference golden ranks to allclose 1e-6."""
+    arr, n, expected = golden
+    edges, n_read = read_graph_file(spark, GOLDEN_GRAPH)
+    assert n_read == n
+    res = PageRank(mode=mode).run(edges, n)
+    got = ranks_to_numpy(res.ranks, n)
+    assert res.iterations == 7
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+    # tighter check against the NumPy oracle (identical spec)
+    oracle, it, _ = pagerank_numpy(arr, n)
+    assert it == 7
+    np.testing.assert_allclose(got, oracle, atol=1e-9)
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "csr"])
+@pytest.mark.parametrize("name", sorted(micro_graphs()))
+def test_micro_graphs_vs_oracle(spark, mode, name):
+    arr, n = micro_graphs()[name]
+    oracle, _, _ = pagerank_numpy(arr, n)
+    edges = edges_from_numpy(spark, arr)
+    res = PageRank(mode=mode).run(edges, n)
+    got = ranks_to_numpy(res.ranks, n)
+    np.testing.assert_allclose(got, oracle, atol=1e-9)
+    # invariants: sum to 1, min >= (1-c)/n (post-normalize keeps both)
+    assert abs(got.sum() - 1.0) < 1e-9
+    assert got.min() >= (1 - 0.85) / n - 1e-12
+
+
+def test_cycle_uniform(spark):
+    arr, n = micro_graphs()["cycle_8"]
+    edges = edges_from_numpy(spark, arr)
+    res = PageRank().run(edges, n)
+    got = ranks_to_numpy(res.ranks, n)
+    np.testing.assert_allclose(got, np.full(n, 1.0 / n), atol=1e-9)
+
+
+def test_partition_count_invariance(spark, golden):
+    """Same ranks at different parallelism (float64 + tolerance)."""
+    arr, n, _ = golden
+    r4 = PageRank(mode="dataframe").run(edges_from_numpy(spark, arr, 4), n)
+    r16 = PageRank(mode="dataframe").run(edges_from_numpy(spark, arr, 16), n)
+    a, b = ranks_to_numpy(r4.ranks, n), ranks_to_numpy(r16.ranks, n)
+    np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_permutation_invariance(spark):
+    arr, n = micro_graphs()["chain_8"]
+    perm = np.array([3, 1, 4, 0, 6, 2, 7, 5], dtype=np.int64)
+    permuted = perm[arr]
+    base = ranks_to_numpy(
+        PageRank().run(edges_from_numpy(spark, arr), n).ranks, n
+    )
+    relab = ranks_to_numpy(
+        PageRank().run(edges_from_numpy(spark, permuted), n).ranks, n
+    )
+    np.testing.assert_allclose(relab[perm], base, atol=1e-12)
