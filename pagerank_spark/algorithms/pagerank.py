@@ -78,6 +78,7 @@ class PageRank:
         catalog=None,
         lineage: LineageWriter | None = None,
         num_blocks: int | None = None,
+        salt_partitions: int | None = None,
     ):
         self.c = c
         self.eps = eps
@@ -87,6 +88,10 @@ class PageRank:
         self.catalog = catalog
         self.lineage = lineage
         self.num_blocks = num_blocks
+        # hub-skew mitigation: when set, the per-iteration contrib aggregation
+        # runs as a salted two-stage sum (graph/skew.py) so no reduce task
+        # owns more than 1/salt_partitions of a hot dst key's rows.
+        self.salt_partitions = salt_partitions
 
     # ------------------------------------------------------------------ API
     def run(
@@ -155,11 +160,18 @@ class PageRank:
         prev_state = None
         for it in range(start_iter + 1, self.max_iter + 1):
             t0 = time.time()
-            contribs = (
-                ew.join(state.select("id", "rank"), ew.src == F.col("id"))
-                .groupBy("dst")
-                .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
-            )
+            joined = ew.join(state.select("id", "rank"), ew.src == F.col("id"))
+            if self.salt_partitions:
+                from pagerank_spark.graph.skew import salted_sum
+
+                contribs = salted_sum(
+                    joined, "dst", F.col("rank") * F.col("w"),
+                    self.salt_partitions, salt_source="src", out="contrib",
+                )
+            else:
+                contribs = joined.groupBy("dst").agg(
+                    F.sum(F.col("rank") * F.col("w")).alias("contrib")
+                )
             new_state = (
                 state.join(contribs, state.id == contribs.dst, "left")
                 .select(

@@ -10,6 +10,7 @@ timestamps round-trip identically against external oracles.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -52,4 +53,37 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def package_zip(dest_dir: str = "/tmp") -> str:
+    """Zip the pagerank_spark package for spark-submit --py-files / addPyFile."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(dest_dir, "pagerank_spark_pkg.zip")
+    tmp = out + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as z:
+        for root, _, files in os.walk(pkg_dir):
+            for name in sorted(files):
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.join(
+                    "pagerank_spark", os.path.relpath(full, pkg_dir)
+                )
+                z.write(full, rel)
+    os.replace(tmp, out)
+    return out
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make pagerank_spark importable on executors regardless of driver cwd.
+
+    Executor Python workers do not inherit the driver's sys.path; shipping the
+    package as a py-file is the same mechanism a cluster run uses
+    (spark-submit --py-files pagerank_spark_pkg.zip)."""
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added in this context, or a non-filesystem deploy

@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pagerank_spark.algorithms.pagerank import PageRank
+from pagerank_spark.graph.build import build_link_graph
+from pagerank_spark.graph.degrees import dangling_nodes, out_degrees
+from pagerank_spark.graph.ids import assign_dense_ids
+from pagerank_spark.graph.skew import salted_sum
+from pagerank_spark.oracle import pagerank_numpy
+from pagerank_spark.sources.graphfile import edges_from_numpy, vertices_df
+from pagerank_spark.sources.pages import generate_pages
+
+
+def test_dense_ids_bijective_and_sorted(spark):
+    pages = generate_pages(spark, 500, seed=42, num_partitions=8)
+    ids = assign_dense_ids(pages, "url", num_partitions=8).collect()
+    assert len(ids) == 500
+    got = sorted((r["url"], r["id"]) for r in ids)
+    # id == global sort rank of url
+    assert [i for _, i in got] == list(range(500))
+    # matches the window-oracle path
+    oracle = {
+        r["url"]: r["id"]
+        for r in assign_dense_ids(pages, "url", method="window").collect()
+    }
+    assert dict(got) == oracle
+
+
+def test_build_link_graph_end_to_end(spark):
+    n_pages = 400
+    pages = generate_pages(spark, n_pages, seed=42, num_partitions=8)
+    g = build_link_graph(pages)
+    assert g.n == n_pages
+    edges = g.edges.collect()
+    assert len(edges) > 0
+    arr = np.array([(r["src"], r["dst"]) for r in edges], dtype=np.int64)
+    assert arr.min() >= 0 and arr.max() < n_pages
+    # deduplicated
+    assert len({tuple(e) for e in arr}) == len(arr)
+    # external link targets were dropped: every dst is a page id
+    # end-to-end: pagerank over the built graph matches the numpy oracle
+    res = PageRank(mode="dataframe").run(g.edges, g.n)
+    oracle, _, _ = pagerank_numpy(arr, n_pages)
+    got = np.zeros(n_pages)
+    for r in res.ranks.collect():
+        got[r["id"]] = r["rank"]
+    np.testing.assert_allclose(got, oracle, atol=1e-9)
+
+
+def test_degrees_and_dangling(spark):
+    arr = np.array([(0, 1), (0, 2), (1, 2)], dtype=np.int64)
+    edges = edges_from_numpy(spark, arr)
+    verts = vertices_df(spark, 4)
+    deg = {r["id"]: r["outdeg"] for r in out_degrees(edges).collect()}
+    assert deg == {0: 2, 1: 1}
+    dang = sorted(r["id"] for r in dangling_nodes(verts, edges).collect())
+    assert dang == [2, 3]
+
+
+def test_salted_sum_equals_plain(spark):
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 10, size=(5000, 2))
+    df = spark.createDataFrame(
+        [(int(a), int(b), float(a + b)) for a, b in arr], "dst long, src long, v double"
+    )
+    plain = {
+        r["dst"]: r["s"]
+        for r in df.groupBy("dst").agg(F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        r["dst"]: r["s"]
+        for r in salted_sum(df, "dst", F.col("v"), 8, "src", out="s").collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k] - salted[k]) < 1e-9
+
+
+def test_pagerank_salted_matches(spark, golden):
+    arr, n, expected = golden
+    edges = edges_from_numpy(spark, arr)
+    res = PageRank(mode="dataframe", salt_partitions=8).run(edges, n)
+    got = np.zeros(n)
+    for r in res.ranks.collect():
+        got[r["id"]] = r["rank"]
+    np.testing.assert_allclose(got, expected, atol=1e-6)

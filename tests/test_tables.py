@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pagerank_spark.algorithms.pagerank import PageRank
+from pagerank_spark.lineage import LineageWriter
+from pagerank_spark.sources.graphfile import edges_from_numpy
+from pagerank_spark.tables import Catalog
+
+
+@pytest.fixture
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def test_write_read_roundtrip(spark, cat):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id long, v string")
+    meta = cat.write(df, "t", bucket_by=(4, "id"))
+    assert meta.snapshot_id == 0
+    assert meta.partition_spec["bucket"] == {"n": 4, "column": "id"}
+    back = cat.read(spark, "t")
+    assert back.count() == 100
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+
+def test_snapshot_isolation_and_time_travel(spark, cat):
+    df1 = spark.createDataFrame([(1,)], "id long")
+    df2 = spark.createDataFrame([(2,)], "id long")
+    cat.write(df1, "t")
+    cat.write(df2, "t")  # overwrite
+    assert cat.read(spark, "t").collect()[0]["id"] == 2
+    assert cat.read(spark, "t", snapshot_id=0).collect()[0]["id"] == 1
+    assert cat.snapshots("t") == [0, 1]
+
+
+def test_append_mode(spark, cat):
+    cat.write(spark.createDataFrame([(1,)], "id long"), "t")
+    cat.write(spark.createDataFrame([(2,)], "id long"), "t", mode="append")
+    assert sorted(r["id"] for r in cat.read(spark, "t").collect()) == [1, 2]
+
+
+def test_torn_commit_invisible(spark, cat):
+    """A crash after data write but before pointer flip leaves the old
+    snapshot current (commit protocol)."""
+    cat.write(spark.createDataFrame([(1,)], "id long"), "t")
+    # simulate a torn commit: orphan data dir + manifest, pointer untouched
+    orphan = os.path.join(cat.warehouse, "t", "data", "snap-99-dead")
+    os.makedirs(orphan)
+    with open(os.path.join(cat.warehouse, "t", "metadata", "v99.json"), "w") as f:
+        json.dump({"snapshot_id": 99, "schema_json": "{}", "data_dir": "data/snap-99-dead"}, f)
+    assert cat.current_meta("t").snapshot_id == 0
+    assert cat.read(spark, "t").collect()[0]["id"] == 1
+
+
+def test_resume_matches_uninterrupted(spark, cat, golden):
+    arr, n, expected = golden
+    edges = edges_from_numpy(spark, arr)
+    # run 1: stop after 3 iterations (simulated kill), checkpointing each one
+    PageRank(max_iter=3, catalog=cat).run(edges, n, run_id="r1")
+    assert cat.exists("pagerank_ckpt_r1")
+    # run 2: resume -> continues from iteration 3, converges at 7
+    res = PageRank(catalog=cat).run(edges, n, run_id="r1", resume=True)
+    assert res.iterations == 7
+    got = np.zeros(n)
+    for r in res.ranks.collect():
+        got[r["id"]] = r["rank"]
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_lineage_rows(spark, cat, golden):
+    arr, n, _ = golden
+    edges = edges_from_numpy(spark, arr)
+    lin = LineageWriter(spark, cat, per_partition=True)
+    PageRank(catalog=cat, lineage=lin).run(edges, n, run_id="lrun")
+    rows = lin.read("lrun").collect()
+    aggs = [r for r in rows if r["partition_id"] == -1]
+    assert len(aggs) == 7  # one per iteration
+    assert all(r["rows_shuffled"] == 5000 for r in aggs)
+    deltas = [r["residual_l1"] for r in sorted(aggs, key=lambda r: r["iteration"])]
+    assert all(d2 < d1 for d1, d2 in zip(deltas, deltas[1:]))
+    assert [r["snapshot"] for r in aggs] == [str(i) for i in range(7)] or all(
+        r["snapshot"] is not None for r in aggs
+    )
+    # per-partition rows exist
+    assert any(r["partition_id"] >= 0 for r in rows)
