@@ -1,0 +1,65 @@
+"""Synchronous label propagation over the undirected graph.
+
+label_0(v) = v. Each round, every vertex with at least one neighbor adopts
+its neighbors' most frequent label; ties break to the smallest label
+(deterministic — the fixture contract in FIXTURES.md §5). Vertices without
+neighbors keep their label. Runs a fixed number of rounds or until no label
+changes, whichever comes first.
+
+One round = join(edges, labels) -> groupBy(dst, label).count ->
+max_by(label, (count, -label)) — all hash aggregates; the (count, -label)
+struct ordering implements the min-label tie-break without a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 10,
+    check_convergence: bool = True,
+) -> DataFrame:
+    """edges(src,dst), vertices(id) -> (id, label). Exact at fixed rounds."""
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels, und.b == labels.id)
+            .groupBy(F.col("a").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = nbr.groupBy("id").agg(
+            F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
+        )
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        if check_convergence:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels.unpersist()
+            labels = new_labels
+    return labels
