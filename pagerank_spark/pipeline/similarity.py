@@ -1,0 +1,217 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: exact cosine top-k for a set of query vectors. The dot
+  product runs JVM-side (zip_with + aggregate — whole-stage codegen, no
+  Python); queries are broadcast. Baseline and small-n path.
+- lsh_topk: random-hyperplane LSH. Each vector gets an n_bits signature
+  (vectorized NumPy pandas UDF); candidates share a signature band with the
+  query, then exact cosine re-ranks candidates only. The 100TB path: probe
+  cost ~ O(candidates), not O(n); bucket join shuffles on (band, value).
+- embedding_cosine_pairs: all-pairs near-duplicate detection >= threshold,
+  LSH-bucketed; used by the dedup suite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(vec_a: str, vec_b: str):
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.col(vec_a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.col(vec_b), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (query_id, neighbor_id, cosine, rank) exact top-k per query.
+
+    queries: (vec_id, embedding) — broadcast; ties broken by neighbor id for
+    full determinism. Self-matches excluded.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        q.crossJoin(base)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _cosine("qvec", "nvec").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, sig: long) random-hyperplane signature (sign pattern)."""
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        for batch in batches:
+            mat = np.array(batch[vec_col].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                yield pd.DataFrame({"vec_id": [], "sig": []})
+                continue
+            bits = (mat @ planes.T) > 0
+            sig = (bits * weights).sum(axis=1)
+            yield pd.DataFrame({"vec_id": batch[id_col], "sig": sig})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(gen, "vec_id long, sig long")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share >=1 signature band with the query,
+    exact cosine re-ranks. Returns (query_id, neighbor_id, cosine, rank)."""
+    assert n_bits % n_bands == 0
+    width = n_bits // n_bands
+    sig_all = lsh_signatures(embeddings, dim, n_bits, seed, id_col, vec_col)
+    sig_q = lsh_signatures(queries, dim, n_bits, seed, id_col, vec_col)
+
+    def banded(sig: DataFrame, name: str) -> DataFrame:
+        return sig.select(
+            F.col("vec_id").alias(name),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.shiftright("sig", bi * width)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("bv"),
+                        )
+                        for bi in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(name, F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+
+    cand = (
+        banded(sig_q, "query_id")
+        .join(banded(sig_all, "neighbor_id"), ["band", "bv"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(e, "neighbor_id")
+        .select("query_id", "neighbor_id", _cosine("qvec", "nvec").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_bits: int = 16,
+    n_bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """-> (id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
+
+    exact=True does the full O(n^2) self-join (oracle/small-n); otherwise
+    LSH-bucketed candidates only (high-threshold pairs collide in >=1 band
+    with high probability).
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError("dim required for LSH path")
+        sig = lsh_signatures(embeddings, dim, n_bits, seed, id_col, vec_col)
+        width = n_bits // n_bands
+        banded = sig.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.shiftright("sig", bi * width)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("bv"),
+                        )
+                        for bi in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bv"])
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(
+                F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+            )
+            .distinct()
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    return pairs.select(
+        "id_a", "id_b", _cosine("va", "vb").alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

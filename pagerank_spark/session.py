@@ -50,6 +50,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Fault-avoidance: first-touch page faults serialize badly on
+        # virtualized hosts (measured: fresh-allocation bandwidth collapses
+        # from 5 GB/s at 1 proc to ~1 GB/s aggregate at any parallelism,
+        # while pre-faulted steady-state scales to >300 GB/s). Pre-touch the
+        # JVM heap once at startup, and keep glibc from returning Python
+        # workers' buffers to the OS between Arrow batches.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms4g -XX:+AlwaysPreTouch -XX:+UseG1GC",
+        )
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "33554432")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
+        .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -19,7 +19,7 @@ def ranks_to_numpy(df, n):
     return out
 
 
-@pytest.mark.parametrize("mode", ["dataframe", "csr"])
+@pytest.mark.parametrize("mode", ["dataframe", "csr", "broadcast"])
 def test_golden_test1(spark, golden, mode):
     """Engine reproduces the reference golden ranks to allclose 1e-6."""
     arr, n, expected = golden

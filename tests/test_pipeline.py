@@ -1,0 +1,154 @@
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_pairs,
+)
+from pagerank_spark.pipeline.similarity import (
+    brute_force_topk,
+    embedding_cosine_pairs,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # add exact + near duplicates with known structure
+    dup = base.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (
+        base.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail token")))
+    )
+    return base.unionByName(dup).unionByName(near).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").localCheckpoint(eager=True)
+
+
+def test_exact_dedup(spark, docs):
+    res = exact_dedup(docs)
+    kept = res.select("keep_id").distinct().count()
+    total = docs.count()
+    # exactly the 5 planted exact dups collapse
+    assert kept == total - 5
+    planted = {r["doc_id"]: r["keep_id"] for r in res.filter(F.col("doc_id") >= 100000).filter(F.col("doc_id") < 200000).collect()}
+    assert all(k == d - 100000 for d, k in planted.items())
+
+
+def test_ngram_jaccard_exact_oracle(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # python oracle over the same docs
+    rows = docs.select("doc_id", "text").collect()
+    sh = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    exp = {}
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sh.items()), 2):
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            exp[(a, b)] = j
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9
+    # the 5 exact-dup pairs are found with jaccard 1.0
+    exact_pairs = [(a, b) for (a, b) in got if a < 1000 and b == a + 100000]
+    assert len(exact_pairs) == 5
+    assert all(abs(got[p] - 1.0) < 1e-12 for p in exact_pairs)
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # exact duplicates must collide in every band with est_jaccard 1.0
+    for base_id in [r["doc_id"] for r in docs.filter(F.col("doc_id") < 5).collect()]:
+        assert pairs.get((base_id, base_id + 100000)) == 1.0
+    # near-dups (tail token added) should be found with high estimate
+    near_found = [p for (a, b), p in pairs.items() if b == a + 200000]
+    assert len(near_found) >= 4
+    assert all(p >= 0.5 for p in near_found)
+
+
+def test_simhash_finds_exact_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    for base_id in range(5):
+        assert pairs.get((base_id, base_id + 100000)) == 0
+
+
+def _np_topk(emb_rows, qid, k):
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb_rows}
+    q = vecs[qid]
+    sims = []
+    for nid, v in vecs.items():
+        if nid == qid:
+            continue
+        cos = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        sims.append((nid, cos))
+    sims.sort(key=lambda t: (-t[1], t[0]))
+    return sims[:k]
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    for qid in [0, 1, 2]:
+        exp = _np_topk(rows, qid, 5)
+        mine = sorted(by_q[qid])
+        assert [m[1] for m in mine] == [e[0] for e in exp]
+        for m, e in zip(mine, exp):
+            assert abs(m[2] - e[1]) < 1e-9
+
+
+def test_lsh_topk_recall(spark, emb):
+    dim = len(emb.first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, dim=dim, k=5, n_bits=16, n_bands=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # generous bands -> decent recall on 500 vectors
+
+
+def test_embedding_cosine_pairs_exact_vs_lsh(spark, emb):
+    dim = len(emb.first()["embedding"])
+    ex = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(emb, threshold=0.9, exact=True).collect()
+    }
+    ap = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(
+            emb, threshold=0.9, dim=dim, n_bits=16, n_bands=8
+        ).collect()
+    }
+    # approximate is a subset of exact; recall decent at 0.9 threshold
+    assert ap <= ex
+    if ex:
+        assert len(ap) / len(ex) >= 0.5
