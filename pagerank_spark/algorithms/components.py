@@ -75,6 +75,7 @@ def connected_components(
     catalog=None,
     lineage: LineageWriter | None = None,
     run_id: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """edges(src,dst) [+ vertices(id) to include isolated nodes]
     -> (id, component), component = min vertex id of the component. Exact."""
@@ -82,10 +83,15 @@ def connected_components(
     spark = edges.sparkSession
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e = _dedup(e).localCheckpoint(eager=True)
+    start_iter = 0
+    if resume and catalog is not None and catalog.exists(f"cc_ckpt_{run_id}"):
+        meta = catalog.current_meta(f"cc_ckpt_{run_id}")
+        e = catalog.read(spark, f"cc_ckpt_{run_id}").localCheckpoint(eager=True)
+        start_iter = int(meta.summary.get("iteration", 0))
     prev = _checksum(e)
     import time
 
-    for it in range(1, max_iter + 1):
+    for it in range(start_iter + 1, max_iter + 1):
         t0 = time.time()
         e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _checksum(e_next)

@@ -329,6 +329,28 @@ class PageRank:
         # rows/s/core, the packed path is ~2 GB/s/core. This is the
         # "partition-local CSR" layout: build once, reuse every iteration.
         degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        m = edges.count()
+
+        # Hub splitting: a power-law top destination can hold 30%+ of all
+        # edges, so no dst-blocking scheme alone balances tasks. Destinations
+        # whose in-degree exceeds m/(4*nblocks) are "hubs": their edges route
+        # by src%nblocks into reserved per-block accumulator slots and the
+        # driver sums the partials — the map-side analog of the salted
+        # two-stage aggregate (graph/skew.py). Collected driver-side because
+        # the hub set is tiny by construction (< 4*nblocks ids above the
+        # threshold, capped at 65536).
+        hub_threshold = max(65, m // (4 * nblocks))
+        hub_rows = (
+            edges.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("indeg"))
+            .filter(F.col("indeg") > hub_threshold)
+            .orderBy(F.desc("indeg"))
+            .limit(65536)
+            .toArrow()
+        )
+        hub_ids = np.sort(hub_rows.column("dst").to_numpy().astype(np.int64))
+        n_hubs = int(hub_ids.shape[0])
+
         idx_t = np.int32 if n < 2**31 else np.int64
         # 8 MiB cells: big enough to amortize per-row serde, small enough to
         # stay GC-friendly in the JVM block cache (64 MiB cells measured 2-4x
@@ -336,8 +358,44 @@ class PageRank:
         chunk_edges = (8 << 20) // (2 * np.dtype(idx_t).itemsize)
         bs = block_size
 
+        def split_blocks(src: np.ndarray, dst: np.ndarray):
+            """Route a batch of edges to (block, src, local_slot) groups.
+
+            INTERLEAVED blocking (dst % nblocks, local = dst // nblocks):
+            web graphs put hubs at low dense ids, so contiguous ranges would
+            dump nearly all edges into block 0 (measured: one task did 99% of
+            the work). Hub destinations (top in-degree, see hub_ids) are
+            further split: routed by src % nblocks into reserved slots
+            bs+hub_pos, partial-summed per block, finalized driver-side.
+            """
+            if n_hubs:
+                pos = np.clip(np.searchsorted(hub_ids, dst), 0, n_hubs - 1)
+                is_hub = hub_ids[pos] == dst
+            else:
+                is_hub = None
+            groups = []
+            nh_src, nh_dst = (src, dst) if is_hub is None else (
+                src[~is_hub], dst[~is_hub]
+            )
+            if nh_src.shape[0]:
+                blk = nh_dst % nblocks
+                for b in np.unique(blk):
+                    sel = blk == b
+                    groups.append((int(b), nh_src[sel], nh_dst[sel] // nblocks))
+            if is_hub is not None and is_hub.any():
+                h_src = src[is_hub]
+                h_slot = bs + np.clip(
+                    np.searchsorted(hub_ids, dst[is_hub]), 0, n_hubs - 1
+                )
+                blk = h_src % nblocks
+                for b in np.unique(blk):
+                    sel = blk == b
+                    groups.append((int(b), h_src[sel], h_slot[sel]))
+            return groups
+
         def pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             acc: dict[int, list[np.ndarray]] = {}
+            pending = 0
 
             def emit(b: int, srcs: np.ndarray, dsts: np.ndarray) -> pa.RecordBatch:
                 return pa.RecordBatch.from_arrays(
@@ -349,22 +407,23 @@ class PageRank:
                     names=["block", "src_bin", "dst_bin"],
                 )
 
+            def drain():
+                for b, lst in list(acc.items()):
+                    if lst:
+                        cat = np.concatenate(lst, axis=1)
+                        yield emit(b, cat[0], cat[1])
+                        acc[b] = []
+
             for batch in batches:
                 src = batch.column("src").to_numpy(zero_copy_only=False)
                 dst = batch.column("dst").to_numpy(zero_copy_only=False)
-                blk = dst // bs
-                for b in np.unique(blk):
-                    sel = blk == b
-                    lst = acc.setdefault(int(b), [])
-                    lst.append(np.stack([src[sel], dst[sel] - b * bs]))
-                    if sum(a.shape[1] for a in lst) >= chunk_edges:
-                        cat = np.concatenate(lst, axis=1)
-                        yield emit(int(b), cat[0], cat[1])
-                        acc[int(b)] = []
-            for b, lst in acc.items():
-                if lst:
-                    cat = np.concatenate(lst, axis=1)
-                    yield emit(b, cat[0], cat[1])
+                for b, s_arr, l_arr in split_blocks(src, dst):
+                    acc.setdefault(b, []).append(np.stack([s_arr, l_arr]))
+                    pending += s_arr.shape[0]
+                if pending >= chunk_edges:
+                    yield from drain()
+                    pending = 0
+            yield from drain()
 
         packed_schema = StructType(
             [
@@ -412,17 +471,19 @@ class PageRank:
 
                 out_blocks: list[int] = []
                 out_paths: list[str] = []
+                pending = 0
                 for batch in batches:
                     src = batch.column("src").to_numpy(zero_copy_only=False)
                     dst = batch.column("dst").to_numpy(zero_copy_only=False)
-                    blk = dst // bs
-                    for b in np.unique(blk):
-                        sel = blk == b
-                        lst = acc.setdefault(int(b), [])
-                        lst.append(np.stack([src[sel], dst[sel] - b * bs]))
-                        if sum(a.shape[1] for a in lst) >= chunk_edges * 8:
-                            out_blocks.append(int(b))
-                            out_paths.append(flush(int(b)))
+                    for b, s_arr, l_arr in split_blocks(src, dst):
+                        acc.setdefault(b, []).append(np.stack([s_arr, l_arr]))
+                        pending += s_arr.shape[0]
+                    if pending >= chunk_edges * 8:
+                        for b, lst in list(acc.items()):
+                            if lst:
+                                out_blocks.append(b)
+                                out_paths.append(flush(b))
+                        pending = 0
                 for b, lst in acc.items():
                     if lst:
                         out_blocks.append(b)
@@ -432,22 +493,23 @@ class PageRank:
                     names=["block", "path"],
                 )
 
+            # round-robin input so pack work is balanced even when one dst
+            # dominates; chunk rows then rebalance round-robin across tasks
             packed = (
                 edges.select("src", "dst")
-                .repartition(nblocks, (F.col("dst") / F.lit(bs)).cast("long"))
+                .repartition(nblocks)
                 .mapInArrow(pack_files, "block long, path string")
-                .repartition(nblocks, "block")
+                .repartition(nblocks)
                 .localCheckpoint(eager=True)
             )
         else:
             packed = (
                 edges.select("src", "dst")
-                .repartition(nblocks, (F.col("dst") / F.lit(bs)).cast("long"))
+                .repartition(nblocks)
                 .mapInArrow(pack, packed_schema)
                 .persist()
             )
             packed.count()
-        m = edges.count()
 
         # outdeg vector -> dangling mask, collected once via Arrow.
         deg_tbl = degrees.toArrow()
@@ -490,10 +552,12 @@ class PageRank:
                         dstl = np.frombuffer(dsts[i].as_py(), dtype=idx_t)
                         a = acc.get(b)
                         if a is None:
-                            a = acc.setdefault(b, np.zeros(block_size))
+                            a = acc.setdefault(b, np.zeros(block_size + n_hubs))
                         # np.bincount = vectorized scatter-add (the NumPy
                         # analog of the reference's SIMD getVectorPik kernel)
-                        a += np.bincount(dstl, weights=rwv[src], minlength=block_size)
+                        a += np.bincount(
+                            dstl, weights=rwv[src], minlength=block_size + n_hubs
+                        )
                 if acc:
                     yield pa.RecordBatch.from_arrays(
                         [
@@ -522,7 +586,7 @@ class PageRank:
                     for b, path in zip(blocks, paths):
                         a = acc.get(b)
                         if a is None:
-                            a = acc.setdefault(b, np.zeros(block_size))
+                            a = acc.setdefault(b, np.zeros(block_size + n_hubs))
                         with open(path, "rb", buffering=0) as f:
                             k = int(np.frombuffer(f.read(8), dtype=np.int64)[0])
                             for lo in range(0, k, sub):
@@ -534,7 +598,7 @@ class PageRank:
                                 w = wbuf[:c]
                                 np.take(rwv, sbuf[:c], out=w)
                                 a += np.bincount(
-                                    dbuf[:c], weights=w, minlength=block_size
+                                    dbuf[:c], weights=w, minlength=block_size + n_hubs
                                 )
                 if acc:
                     yield pa.RecordBatch.from_arrays(
@@ -551,8 +615,12 @@ class PageRank:
             for row in rows:
                 b = row["block"]
                 arr = np.frombuffer(row["contrib"], dtype=np.float64)
-                lo = b * block_size
-                contrib[lo : lo + arr.shape[0]] += arr[: max(0, n - lo)]
+                # interleaved blocks: block b owns global ids b, b+nblocks, ...
+                stripe = contrib[b::nblocks]
+                stripe += arr[: stripe.shape[0]]
+                if n_hubs:
+                    # hub partial sums live in slots [bs, bs+n_hubs)
+                    contrib[hub_ids] += arr[block_size : block_size + n_hubs]
             b_rw.destroy()
 
             dmass = pi[dangling].sum()

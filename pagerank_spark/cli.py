@@ -1,0 +1,199 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files pagerank_spark_pkg.zip -m pagerank_spark.cli ...
+or locally:
+    python -m pagerank_spark.cli pagerank --edges <parquet> --n <N> --output <dir>
+
+Build the zip with ``python -c "from pagerank_spark.session import
+package_zip; print(package_zip())"``. Subcommands cover every engine job;
+each reads/writes parquet or catalog tables so runs chain together.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from pagerank_spark.session import get_spark
+
+    return get_spark(
+        "pagerank_spark_cli",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def _catalog(args):
+    if args.warehouse:
+        from pagerank_spark.tables import Catalog
+
+        return Catalog(args.warehouse)
+    return None
+
+
+def cmd_build_graph(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.graph.build import build_link_graph
+
+    pages = spark.read.parquet(args.pages)
+    g = build_link_graph(pages)
+    cat = _catalog(args)
+    if cat:
+        cat.write(g.edges, "edges", bucket_by=(args.shuffle_partitions or 32, "src"))
+        cat.write(g.vertices, "vertices")
+    else:
+        g.edges.write.mode("overwrite").parquet(args.output + "/edges")
+        g.vertices.write.mode("overwrite").parquet(args.output + "/vertices")
+    print(json.dumps({"n_vertices": g.n, "n_edges": g.edges.count()}))
+    return 0
+
+
+def cmd_generate_pages(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, args.n, seed=args.seed)
+    pages.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"pages": args.n, "output": args.output}))
+    return 0
+
+
+def _load_edges(spark, args):
+    if args.graph_file:
+        from pagerank_spark.sources.graphfile import read_graph_file
+
+        return read_graph_file(spark, args.graph_file)
+    edges = spark.read.parquet(args.edges)
+    n = args.n or (
+        edges.agg(F.greatest(F.max("src"), F.max("dst"))).first()[0] + 1
+    )
+    return edges, int(n)
+
+
+def cmd_pagerank(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.pagerank import PageRank
+    from pagerank_spark.lineage import LineageWriter
+
+    edges, n = _load_edges(spark, args)
+    cat = _catalog(args)
+    lineage = LineageWriter(spark, cat, per_partition=True) if cat else None
+    pr = PageRank(
+        c=args.c, eps=args.eps, max_iter=args.max_iter, mode=args.mode,
+        catalog=cat, lineage=lineage,
+    )
+    res = pr.run(edges, n, run_id=args.run_id, resume=args.resume)
+    if args.output:
+        res.ranks.orderBy("id").write.mode("overwrite").parquet(args.output)
+    if args.text_output:
+        from pagerank_spark.sources.graphfile import save_pageranks_text
+
+        save_pageranks_text(res.ranks, args.text_output)
+    print(
+        json.dumps(
+            {
+                "iterations": res.iterations,
+                "final_delta": res.deltas[-1] if res.deltas else None,
+                "edges_per_sec_per_iter": res.edges_per_sec_per_iter,
+                "run_id": res.run_id,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_components(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.components import connected_components
+    from pagerank_spark.sources.graphfile import vertices_df
+
+    edges, n = _load_edges(spark, args)
+    comp = connected_components(edges, vertices_df(spark, n), catalog=_catalog(args))
+    if args.output:
+        comp.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"n_components": comp.select("component").distinct().count()}))
+    return 0
+
+
+def cmd_triangles(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.triangles import triangle_count
+
+    edges, _ = _load_edges(spark, args)
+    print(json.dumps({"triangles": triangle_count(edges)}))
+    return 0
+
+
+def cmd_labelprop(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.labelprop import label_propagation
+    from pagerank_spark.sources.graphfile import vertices_df
+
+    edges, n = _load_edges(spark, args)
+    labels = label_propagation(edges, vertices_df(spark, n), max_iter=args.max_iter)
+    if args.output:
+        labels.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"n_labels": labels.select("label").distinct().count()}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pagerank_spark")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--warehouse", default=None, help="catalog dir for checkpoints/lineage")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate-pages")
+    g.add_argument("--n", type=int, required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--output", required=True)
+    g.set_defaults(fn=cmd_generate_pages)
+
+    b = sub.add_parser("build-graph")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--output", default="graph_out")
+    b.set_defaults(fn=cmd_build_graph)
+
+    def graph_args(sp):
+        sp.add_argument("--edges", default=None, help="edges parquet dir")
+        sp.add_argument("--graph-file", default=None, help="reference .graph binary")
+        sp.add_argument("--n", type=int, default=None)
+        sp.add_argument("--output", default=None)
+
+    pr = sub.add_parser("pagerank")
+    graph_args(pr)
+    pr.add_argument("--c", type=float, default=0.85)
+    pr.add_argument("--eps", type=float, default=1e-5)
+    pr.add_argument("--max-iter", type=int, default=200)
+    pr.add_argument("--mode", default="dataframe",
+                    choices=["dataframe", "broadcast", "csr"])
+    pr.add_argument("--run-id", default=None)
+    pr.add_argument("--resume", action="store_true")
+    pr.add_argument("--text-output", default=None)
+    pr.set_defaults(fn=cmd_pagerank)
+
+    cc = sub.add_parser("components")
+    graph_args(cc)
+    cc.set_defaults(fn=cmd_components)
+
+    tr = sub.add_parser("triangles")
+    graph_args(tr)
+    tr.set_defaults(fn=cmd_triangles)
+
+    lp = sub.add_parser("labelprop")
+    graph_args(lp)
+    lp.add_argument("--max-iter", type=int, default=10)
+    lp.set_defaults(fn=cmd_labelprop)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
