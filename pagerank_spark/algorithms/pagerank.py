@@ -16,7 +16,7 @@ rank-1 term are the two scalars the reference folds algebraically
 exact arithmetic; tracking it reproduces the reference's matrix-vector product
 bit-for-bit to within fp tolerance).
 
-Two physical strategies:
+Three physical strategies:
 
 - ``mode="dataframe"`` — the fully distributed path: the SpMV is the
   edges⋈ranks equi-join + groupBy(dst) sum (the distributed analog of the
