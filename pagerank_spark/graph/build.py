@@ -38,7 +38,12 @@ def build_link_graph(
     pages: DataFrame,
     broadcast_dict: bool | None = None,
     dedup: bool = True,
+    persist_pages: bool = True,
 ) -> LinkGraph:
+    if persist_pages and pages.storageLevel.useMemory is False:
+        # the pipeline scans pages twice (dictionary + extraction); without a
+        # cache both scans re-run the upstream generator/reader
+        pages = pages.persist()
     ids = assign_dense_ids(pages, "url")
     n = ids.count()
     if broadcast_dict is None:

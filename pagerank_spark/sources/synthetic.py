@@ -33,15 +33,18 @@ def synthetic_edges(
     src_hi = max(1, int(n_vertices * (1.0 - dangling_frac)))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = 4_000_000  # bound per-yield memory; streams any partition size
         for batch in batches:
             for pid in batch["id"]:
                 pid = int(pid)
                 rng = np.random.default_rng([seed, pid])
                 m = per[pid]
-                src = rng.integers(0, src_hi, size=m, dtype=np.int64)
-                z = rng.zipf(zipf_a, size=m).astype(np.int64)
-                dst = (z - 1) % n_vertices
-                yield pd.DataFrame({"src": src, "dst": dst})
+                for lo in range(0, m, chunk):
+                    k = min(chunk, m - lo)
+                    src = rng.integers(0, src_hi, size=k, dtype=np.int64)
+                    z = rng.zipf(zipf_a, size=k).astype(np.int64)
+                    dst = (z - 1) % n_vertices
+                    yield pd.DataFrame({"src": src, "dst": dst})
 
     return spark.range(0, num_partitions, 1, num_partitions).mapInPandas(
         gen, "src long, dst long"
