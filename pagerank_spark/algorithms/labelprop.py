@@ -34,6 +34,17 @@ def label_propagation(
     labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint(
         eager=True
     )
+
+    def _checksum(lbl: DataFrame) -> tuple[int, int]:
+        # one cheap scan, no join: order-insensitive set fingerprint of the
+        # (id, label) assignment (same scheme as components._checksum)
+        row = lbl.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.expr("bit_xor(xxhash64(id, label))"), F.lit(0)).alias("h"),
+        ).first()
+        return int(row["c"]), int(row["h"])
+
+    prev_sum = _checksum(labels) if check_convergence else None
     for _ in range(max_iter):
         nbr = (
             und.join(labels, und.b == labels.id)
@@ -48,18 +59,11 @@ def label_propagation(
             .select("id", F.coalesce("new_label", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        labels.unpersist()
+        labels = new_labels
         if check_convergence:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
+            cur_sum = _checksum(labels)
+            if cur_sum == prev_sum:
                 break
-        else:
-            labels.unpersist()
-            labels = new_labels
+            prev_sum = cur_sum
     return labels

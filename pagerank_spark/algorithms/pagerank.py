@@ -69,6 +69,27 @@ from pyspark.sql.types import (
 from pagerank_spark.lineage import LineageWriter
 
 
+def _read_exact(f, mv: memoryview) -> None:
+    """Fill ``mv`` completely from ``f`` or raise.
+
+    Raw (unbuffered) file objects may return short reads; a silent short read
+    would leave stale bytes from the previous chunk in a reused buffer and
+    corrupt the SpMV, so loop until full and fail loudly on EOF."""
+    need = len(mv)
+    got = 0
+    while got < need:
+        k = f.readinto(mv[got:])
+        if not k:
+            raise IOError(f"short read: wanted {need} bytes, got {got}")
+        got += k
+
+
+def _read_bytes(f, n: int) -> bytes:
+    buf = bytearray(n)
+    _read_exact(f, memoryview(buf))
+    return bytes(buf)
+
+
 def _balanced(df: DataFrame, nblocks: int) -> DataFrame:
     """Round-robin repartition ONLY when the input partitioning is far from
     the target task count — a full shuffle of the edge set is the most
@@ -105,6 +126,7 @@ class PageRank:
         salt_partitions: int | None = None,
         csr_storage: str = "cells",
         scratch_dir: str | None = None,
+        reuse_pack: bool = False,
     ):
         self.c = c
         self.eps = eps
@@ -125,6 +147,12 @@ class PageRank:
         # storage shared/local to executors (trivially true in local mode).
         self.csr_storage = csr_storage
         self.scratch_dir = scratch_dir
+        # reuse_pack=True + scratch_dir: if scratch_dir holds a manifest from a
+        # previous pack of the SAME graph, skip generation/degree/pack entirely
+        # and iterate over the existing packed files (pack once, run many —
+        # what the scaling bench uses so lo- and hi-parallelism configs read
+        # identical bytes).
+        self.reuse_pack = reuse_pack
 
     # ------------------------------------------------------------------ API
     def run(
@@ -252,6 +280,7 @@ class PageRank:
         self, edges: DataFrame, n: int, run_id: str, resume: bool
     ) -> PageRankResult:
         spark = edges.sparkSession
+        sc = spark.sparkContext
         c, eps = self.c, self.eps
         p = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -279,15 +308,33 @@ class PageRank:
             if resumed is not None:
                 pi, start_iter = resumed
 
+        # Seed DF for executor-side rank materialization: the per-iteration
+        # rank rows are NOT shipped driver->JVM as a local relation (measured
+        # ~1s/iteration re-upload for 3e5 rows); instead the driver publishes
+        # the packed vector as a torrent broadcast and ONE executor task
+        # expands it to rows, which the broadcast-hash-join then distributes.
+        one = spark.range(0, 1, 1, 1).persist()
+        one.count()
+
         deltas: list[float] = []
         iter_secs: list[float] = []
         it = start_iter
         for it in range(start_iter + 1, self.max_iter + 1):
             t0 = time.time()
             rw = pi[nz_ids] / outdeg[nz_ids]
-            ranks_df = spark.createDataFrame(
-                pa.table({"src": nz_ids, "r": rw}).to_pandas()
-            )
+            b_rw = sc.broadcast((nz_ids, rw))
+
+            def gen_ranks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+                ids, r = b_rw.value
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids, type=pa.int64()),
+                        pa.array(r, type=pa.float64()),
+                    ],
+                    names=["src", "r"],
+                )
+
+            ranks_df = one.mapInArrow(gen_ranks, "src long, r double")
             # r already carries 1/outdeg (folded driver-side), so the edge
             # contribution is just r; broadcast join + partial agg, and the
             # final agg needs no exchange (ew is hash-partitioned by dst).
@@ -297,6 +344,7 @@ class PageRank:
                 .agg(F.sum(F.col("r")).alias("contrib"))
             )
             tbl = contribs.toArrow()
+            b_rw.destroy()
             contrib = np.zeros(n)
             contrib[tbl.column("dst").to_numpy()] = tbl.column("contrib").to_numpy()
 
@@ -320,6 +368,7 @@ class PageRank:
 
         pi = pi / np.abs(pi).sum()
         ew.unpersist()
+        one.unpersist()
         tbl = pa.table({"id": np.arange(n, dtype=np.int64), "rank": pi})
         ranks = spark.createDataFrame(tbl.to_pandas())
         tput = m / (sum(iter_secs) / len(iter_secs)) if iter_secs else 0.0
@@ -332,6 +381,53 @@ class PageRank:
         spark = edges.sparkSession
         sc = spark.sparkContext
         c, eps = self.c, self.eps
+
+        import json as _json
+        import os as _os
+
+        scratch = None
+        manifest = None
+        man_path = None
+        if self.csr_storage == "files":
+            import tempfile as _tempfile
+
+            scratch = self.scratch_dir or _tempfile.mkdtemp(prefix=f"prcsr_{run_id}_")
+            _os.makedirs(scratch, exist_ok=True)
+            man_path = _os.path.join(scratch, "manifest.json")
+            if self.reuse_pack and _os.path.exists(man_path):
+                with open(man_path) as fh:
+                    manifest = _json.load(fh)
+                if int(manifest["n"]) != n:
+                    raise ValueError(
+                        f"packed manifest at {scratch} is for n={manifest['n']}, "
+                        f"requested n={n}"
+                    )
+
+        idx_t = np.int32 if n < 2**31 else np.int64
+
+        if manifest is not None:
+            # Pack-once / iterate-many: everything the iterations need was
+            # persisted by a previous pack of the SAME graph. ``edges`` is
+            # never evaluated on this path.
+            nblocks = int(manifest["nblocks"])
+            block_size = bs = int(manifest["block_size"])
+            m = int(manifest["m"])
+            hub_ids = np.load(_os.path.join(scratch, "hub_ids.npy"))
+            n_hubs = int(hub_ids.shape[0])
+            outdeg = np.load(_os.path.join(scratch, "outdeg.npy"))
+            packed = (
+                spark.createDataFrame(
+                    [(int(b), str(p)) for b, p in manifest["files"]],
+                    "block long, path string",
+                )
+                .repartition(nblocks)
+                .localCheckpoint(eager=True)
+            )
+            return self._iterate_csr(
+                spark, sc, run_id, resume, n, m, nblocks, block_size, n_hubs,
+                hub_ids, outdeg, idx_t, packed, scratch, keep_scratch=True,
+            )
+
         nblocks = self.num_blocks or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
@@ -448,16 +544,10 @@ class PageRank:
             ]
         )
 
-        scratch = None
         if self.csr_storage == "files":
-            # spill blocks once to .npy files; iterations move only the rank
+            # spill blocks once to binary files; iterations move only the rank
             # vector (the executor-local-storage analog of shuffle files)
-            import os as _os
-            import tempfile as _tempfile
             import uuid as _uuid
-
-            scratch = self.scratch_dir or _tempfile.mkdtemp(prefix=f"prcsr_{run_id}_")
-            _os.makedirs(scratch, exist_ok=True)
 
             def pack_files(
                 batches: Iterator[pa.RecordBatch],
@@ -509,7 +599,10 @@ class PageRank:
                     for b, s_arr, l_arr in split_blocks(src, dst):
                         acc.setdefault(b, []).append(np.stack([s_arr, l_arr]))
                         pending += s_arr.shape[0]
-                    if pending >= chunk_edges * 8:
+                    # flush threshold sized so each per-block chunk is large
+                    # enough for the RLE src encoding to engage (~24M pending
+                    # edges / nblocks per chunk); ~400 MB peak per task
+                    if pending >= chunk_edges * 24:
                         for b, lst in list(acc.items()):
                             if lst:
                                 out_blocks.append(b)
@@ -542,6 +635,34 @@ class PageRank:
         deg_tbl = degrees.toArrow()
         outdeg = np.zeros(n)
         outdeg[deg_tbl.column("src").to_numpy()] = deg_tbl.column("outdeg").to_numpy()
+
+        if man_path is not None:
+            # persist everything the iterations need so a later run with
+            # reuse_pack=True skips generation/degrees/pack entirely
+            files = [[int(r["block"]), r["path"]] for r in packed.collect()]
+            np.save(_os.path.join(scratch, "hub_ids.npy"), hub_ids)
+            np.save(_os.path.join(scratch, "outdeg.npy"), outdeg)
+            tmp = man_path + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump(
+                    {"n": n, "m": m, "nblocks": nblocks,
+                     "block_size": block_size, "files": files},
+                    fh,
+                )
+            _os.replace(tmp, man_path)
+
+        return self._iterate_csr(
+            spark, sc, run_id, resume, n, m, nblocks, block_size, n_hubs,
+            hub_ids, outdeg, idx_t, packed, scratch,
+            keep_scratch=self.scratch_dir is not None,
+        )
+
+    def _iterate_csr(
+        self, spark, sc, run_id, resume, n, m, nblocks, block_size, n_hubs,
+        hub_ids, outdeg, idx_t, packed, scratch, keep_scratch,
+    ) -> PageRankResult:
+        """Power-iterate over an already-packed block layout (see _run_csr)."""
+        c, eps = self.c, self.eps
         dangling = outdeg == 0.0
 
         pi = np.full(n, 1.0 / n)
@@ -617,13 +738,13 @@ class PageRank:
                         if a is None:
                             a = acc.setdefault(b, np.zeros(ml))
                         with open(path, "rb", buffering=0) as f:
-                            hdr = f.read(20)
+                            hdr = _read_bytes(f, 20)
                             k = int(np.frombuffer(hdr, np.int64, 1, 0)[0])
                             nu = int(np.frombuffer(hdr, np.int64, 1, 8)[0])
                             u16 = bool(np.frombuffer(hdr, np.int32, 1, 16)[0])
                             if nu:
-                                uniq = np.frombuffer(f.read(nu * isz), idx_t)
-                                counts = np.frombuffer(f.read(nu * 4), np.int32)
+                                uniq = np.frombuffer(_read_bytes(f, nu * isz), idx_t)
+                                counts = np.frombuffer(_read_bytes(f, nu * 4), np.int32)
                                 w_runs = rwv[uniq]
                                 ends = np.cumsum(counts)
                                 dst_off = 20 + nu * (isz + 4)
@@ -646,11 +767,11 @@ class PageRank:
                                     w = np.repeat(w_runs[i0 : i1 + 1], cw)
                                 else:
                                     f.seek(20 + lo * isz)
-                                    f.readinto(memoryview(sbuf)[:c].cast("B"))
+                                    _read_exact(f, memoryview(sbuf)[:c].cast("B"))
                                     w = wbuf[:c]
                                     np.take(rwv, sbuf[:c], out=w)
                                 f.seek(dst_off + lo * dsz)
-                                f.readinto(memoryview(dbuf)[:c].cast("B"))
+                                _read_exact(f, memoryview(dbuf)[:c].cast("B"))
                                 a += np.bincount(dbuf[:c], weights=w, minlength=ml)
                 if acc:
                     yield pa.RecordBatch.from_arrays(
@@ -661,7 +782,7 @@ class PageRank:
                         names=["block", "contrib"],
                     )
 
-            fn = spmv_files if self.csr_storage == "files" else spmv
+            fn = spmv_files if scratch is not None else spmv
             rows = packed.mapInArrow(fn, out_schema).collect()
             contrib = np.zeros(n)
             for row in rows:
@@ -694,7 +815,7 @@ class PageRank:
 
         pi = pi / np.abs(pi).sum()
         packed.unpersist()
-        if scratch is not None and self.scratch_dir is None:
+        if scratch is not None and not keep_scratch:
             import shutil
 
             shutil.rmtree(scratch, ignore_errors=True)

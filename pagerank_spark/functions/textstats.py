@@ -5,7 +5,6 @@ document fingerprinting. All JVM-side built-ins except the fingerprint
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -126,37 +125,57 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return feat.withColumn("quality_score", score)
 
 
+_FP_P = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61-1
+
+
+def _mul257_mod61(h: np.ndarray) -> np.ndarray:
+    """h*257 mod 2^61-1 for uint64 arrays with h < 2^61, overflow-free.
+
+    Uses 2^61 ≡ 1 (mod p): h*256 = (h>>53)*2^61 + (h & (2^53-1))*2^8
+    ≡ (h>>53) + ((h & mask)<<8). Everything stays under 2^62.
+    """
+    r = (h >> np.uint64(53)) + ((h & np.uint64((1 << 53) - 1)) << np.uint64(8))
+    r = np.where(r >= _FP_P, r - _FP_P, r)
+    r = r + h
+    return np.where(r >= _FP_P, r - _FP_P, r)
+
+
+def _poly_hashes(cp: np.ndarray, window: int) -> np.ndarray:
+    """All length-`window` rolling polynomial hashes of a code-point array:
+    h_j = sum_k cp[j+k] * 257^(window-1-k) mod 2^61-1, vectorized over j
+    (Horner over the window offsets: `window` passes, each whole-array)."""
+    nw = cp.shape[0] - window + 1
+    h = np.zeros(nw, dtype=np.uint64)
+    for k in range(window):
+        h = _mul257_mod61(h) + cp[k : k + nw]
+        h = np.where(h >= _FP_P, h - _FP_P, h)
+    return h
+
+
 def fingerprint_udf(window: int = 8):
     """Rolling-hash (Rabin-Karp style) document fingerprint -> long.
 
-    Winnowing-lite: min rolling hash over byte windows; deterministic across
-    processes (crc32-based), vectorized per Arrow batch.
+    Winnowing-lite: min of the base-257 mod-(2^61-1) polynomial hash over
+    all `window`-codepoint windows; docs shorter than `window` hash the whole
+    code-point sequence (empty doc -> 0). Defined over Unicode code points so
+    a SQL oracle (DuckDB unicode()+list_reduce Horner on HUGEINT) reproduces
+    it exactly; fully vectorized (the Horner runs `window` array passes per
+    doc, no per-character Python).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
             for text in batch["text"]:
-                b = (text or "").encode("utf-8")
-                if len(b) < window:
-                    out.append(zlib.crc32(b))
+                t = text or ""
+                if not t:
+                    out.append(0)
                     continue
-                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-                base = np.uint64(257)
-                mod = np.uint64((1 << 61) - 1)
-                pw = np.uint64(1)
-                for _ in range(window - 1):
-                    pw = (pw * base) % mod
-                h = np.uint64(0)
-                hashes = np.empty(len(arr) - window + 1, dtype=np.uint64)
-                for i in range(window):
-                    h = (h * base + arr[i]) % mod
-                hashes[0] = h
-                for i in range(window, len(arr)):
-                    h = ((h + mod * base - (arr[i - window] * pw) % mod) % mod) % mod
-                    h = (h * base + arr[i]) % mod
-                    hashes[i - window + 1] = h
-                out.append(int(hashes.min() & np.uint64(0x7FFFFFFFFFFFFFFF)))
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.uint64
+                )
+                w = min(window, cp.shape[0])
+                out.append(int(_poly_hashes(cp, w).min()))
             yield pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": out})
 
     return gen

@@ -56,6 +56,39 @@ def _hash64(s: str) -> int:
     return (zlib.crc32(b, 0x9747B28C) << 32) | zlib.crc32(b, 0x85EBCA6B)
 
 
+def _md5_64(s: str) -> int:
+    """First 8 bytes of md5, big-endian -> [0, 2^64). Used where a SQL oracle
+    must reproduce the hash: DuckDB ('0x'||substr(md5(t),1,16))::UBIGINT."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def _mulmod61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """(x*y) mod 2^61-1, exact, for uint64 arrays with x, y < 2^61.
+
+    32-bit limb products (each < 2^64, no overflow) recombined with
+    2^64 ≡ 8 and 2^61 ≡ 1 (mod p). Preserves the universal-hash family
+    property the plain `(a*h+b) % p` int64 expression silently lost to
+    wraparound (advisor finding, round 1).
+    """
+    P = np.uint64(_MERSENNE)
+    M32 = np.uint64(0xFFFFFFFF)
+    xh, xl = x >> np.uint64(32), x & M32
+    yh, yl = y >> np.uint64(32), y & M32
+    ll = xl * yl                      # < 2^64
+    mid = xh * yl + xl * yh           # < 2^62 (xh, yh < 2^29)
+    hh = xh * yh                      # < 2^58
+    # x*y = hh*2^64 + mid*2^32 + ll
+    m1, m0 = mid >> np.uint64(29), mid & np.uint64((1 << 29) - 1)
+    term_mid = m1 + (m0 << np.uint64(32))          # mid*2^32 mod p (< 2^61+2^33)
+    term_ll = (ll >> np.uint64(61)) + (ll & P)     # ll mod-ish (< 2^61+8)
+    r = np.uint64(8) * hh + term_mid + term_ll     # < 2^63
+    r = (r >> np.uint64(61)) + (r & P)
+    r = (r >> np.uint64(61)) + (r & P)
+    return np.where(r >= P, r - P, r)
+
+
 # ---------------------------------------------------------------- exact
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, keep_id): keep_id = min doc_id among byte-identical texts."""
@@ -71,19 +104,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs via inverted-index join.
 
     Shingling runs JVM-side (split/transform/explode built-ins); the pair
     generation is a self-join on shingle, aggregated to intersection counts,
     then |A∪B| = |A|+|B|-|A∩B|. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    max_shingle_df caps the inverted-index blowup at corpus scale: a shingle
+    shared by f documents contributes f^2 rows to the self-join, so one hot
+    shingle (boilerplate, headers) can emit 10^10 pairs. With the cap set,
+    shingles with document frequency > max_shingle_df are dropped from
+    CANDIDATE GENERATION only; the Jaccard of each surviving candidate pair
+    is then recomputed exactly from the full shingle arrays
+    (array_intersect), so reported scores are never approximated — the only
+    approximation is that a pair sharing exclusively hot shingles is missed
+    (such a pair is boilerplate-only overlap, below any useful threshold on
+    real corpora; documented trade-off).
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.filter(
             F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
         ).alias("toks"),
-    )
+    ).filter(F.size("toks") > 0)  # empty docs have no shingles (matches the
+    # Python shingles() helper and the DuckDB oracle's len(t) > 0 filter)
     sh = toks.select(
         "id",
         F.array_distinct(
@@ -98,13 +144,46 @@ def ngram_jaccard_pairs(
     ).filter(F.size("sh") > 0)
     sizes = sh.select("id", F.size("sh").alias("sz"))
     inv = sh.select("id", F.explode("sh").alias("s"))
-    pairs = (
-        inv.alias("a")
-        .join(inv.alias("b"), "s")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_shingle_df is not None:
+        # drop hot shingles from the index (candidate generation only), then
+        # recompute exact intersections from the full arrays per candidate
+        hot = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        inv_cand = inv.join(hot, "s", "left_anti")
+        cand = (
+            inv_cand.alias("a")
+            .join(inv_cand.alias("b"), "s")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        pairs = (
+            cand.join(
+                sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            )
+        )
+    else:
+        pairs = (
+            inv.alias("a")
+            .join(inv.alias("b"), "s")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -149,10 +228,16 @@ def minhash_signatures(
                 else:
                     h = np.fromiter(
                         (_hash64(s) for s in sset), dtype=np.uint64, count=len(sset)
-                    ).astype(np.int64) & ((1 << 61) - 1)
-                    # (n_perm, n_shingles) permuted hashes, min over shingles
-                    ph = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
-                    sig = ph.min(axis=1)
+                    ) & np.uint64((1 << 61) - 1)
+                    # (n_perm, n_shingles) permuted hashes, min over shingles;
+                    # exact mulmod keeps the (a*h+b) mod p family universal
+                    ph = _mulmod61(
+                        a.astype(np.uint64)[:, None],
+                        np.broadcast_to(h[None, :], (a.shape[0], h.shape[0])),
+                    ) + b.astype(np.uint64)[:, None]
+                    P = np.uint64(_MERSENNE)
+                    ph = np.where(ph >= P, ph - P, ph)
+                    sig = ph.min(axis=1).astype(np.int64)
                 ids.append(did)
                 sigs.append(sig.tolist())
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
@@ -237,7 +322,11 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """-> (doc_id, simhash: long) 64-bit token-weighted SimHash."""
+    """-> (doc_id, simhash: long) 64-bit token-weighted SimHash.
+
+    Token hash is md5[:8] (not crc) so a DuckDB oracle reproduces the
+    signature bit-for-bit: ('0x' || substr(md5(t), 1, 16))::UBIGINT.
+    """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bitw = 1 << np.arange(64, dtype=np.uint64)
@@ -250,7 +339,7 @@ def simhash_signatures(
                     sigs.append(0)
                     continue
                 vals, counts = np.unique(
-                    np.fromiter((_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)),
+                    np.fromiter((_md5_64(t) for t in toks), dtype=np.uint64, count=len(toks)),
                     return_counts=True,
                 )
                 bits = ((vals[:, None] & bitw[None, :]) != 0).astype(np.int64)

@@ -32,8 +32,9 @@ def read_graph_file(
 
     Returns (edges, n). The binary payload is decoded JVM-side via
     ``binaryFile`` + an Arrow batch iterator: one task per file; for multi-GB
-    graphs, shard the file or use :func:`read_graph_dir`. The header (n, m) is
-    read driver-side (8 bytes) — metadata only, not data movement.
+    inputs, shard the graph into multiple ``.graph`` files and union the
+    resulting DataFrames (one decode task each). The header (n, m) is read
+    driver-side (8 bytes) — metadata only, not data movement.
     """
     with open(path, "rb") as f:
         n, m = struct.unpack("<ii", f.read(8))
