@@ -194,15 +194,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", "hamming"
         )
 
+    def _emb_with_planted(spark, sf):
+        """embeddings as double vectors + deterministic planted near-dups:
+        vec_id < 25 duplicated at id+1e6 with element 0 shifted by +0.01
+        (cosine vs the original ~0.99998; max natural pair cosine in the
+        testdata is ~0.51, so exactly the 25 planted pairs clear 0.9).
+        Mirrored verbatim in the DuckDB oracle."""
+        emb = _emb(spark, sf).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        dim = len(emb.first()["embedding"])
+        planted = emb.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.concat(
+                F.array(F.col("embedding").getItem(0) + F.lit(0.01)),
+                F.slice("embedding", 2, dim - 1),
+            ).alias("embedding"),
+        )
+        return emb.unionByName(planted), dim
+
     def dedup_embedding(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.pipeline.similarity import embedding_cosine_pairs
 
-        emb = _emb(spark, sf)
-        dim = len(emb.first()["embedding"])
+        base, dim = _emb_with_planted(spark, sf)
         return embedding_cosine_pairs(
-            emb, threshold=0.9, dim=dim, n_bits=16, n_bands=8
+            base, threshold=0.9, dim=dim, n_bits=16, n_bands=8
         ).select("id_a", "id_b")
+
+    def dedup_embedding_exact(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.similarity import embedding_cosine_pairs
+
+        base, dim = _emb_with_planted(spark, sf)
+        return embedding_cosine_pairs(base, threshold=0.9, exact=True).select(
+            "id_a", "id_b"
+        )
 
     def knn_bruteforce(spark, sf):
         _spark_ready(spark)
@@ -332,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_lsh": dedup_embedding,
+        "dedup_embedding_exact": dedup_embedding_exact,
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,
         "lang_distribution": lang_distribution,
@@ -444,6 +473,166 @@ JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.4
 """
+    # ---- language ID: same stopword profiles + tie-break order as
+    # pagerank_spark.functions.textstats.language_id (en,de,it,fr,es)
+    from pagerank_spark.functions.textstats import STOPWORDS
+
+    def _sw(lang):
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    langs = list(STOPWORDS.keys())
+    gmax = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    lang_cases = " ".join(
+        f"WHEN s_{la} = {gmax} THEN '{la}'" for la in langs
+    )
+    LANGID = f"""
+WITH t AS (SELECT doc_id, list_distinct({TOKS}) AS toks FROM documents),
+s AS (SELECT doc_id,
+      {', '.join(f'len(list_intersect(toks, {_sw(la)})) AS s_{la}' for la in langs)}
+      FROM t)
+SELECT doc_id, CASE WHEN {gmax} = 0 THEN 'und' {lang_cases} ELSE 'und' END AS lang_detected
+FROM s
+"""
+    # ---- document fingerprints: min over 8-codepoint windows of the
+    # base-257 mod-(2^61-1) polynomial hash (textstats.fingerprint_udf),
+    # exact via HUGEINT Horner (list_reduce)
+    FP_P = (1 << 61) - 1
+    HORNER = f"(a, x) -> (a * 257 + x) % {FP_P}"
+    FPRINT = f"""
+WITH cps AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        j -> CAST(unicode(substr(text, j, 1)) AS HUGEINT)) AS cp
+  FROM documents
+)
+SELECT doc_id, CASE
+  WHEN len(cp) = 0 THEN 0
+  WHEN len(cp) < 8 THEN CAST(list_reduce(cp, {HORNER}) AS BIGINT)
+  ELSE CAST(list_min(list_transform(range(1, len(cp) - 6),
+            j -> list_reduce(cp[j:j+7], {HORNER}))) AS BIGINT)
+END AS fingerprint
+FROM cps
+"""
+    # ---- simhash pairs: md5[:8] token hash (matches simhash_signatures),
+    # banded-candidate semantics replicated (>=1 equal 16-bit band of 4)
+    # so the oracle matches the LSH pigeonhole exactly, then hamming <= 6
+    SIMHASH = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS t FROM documents),
+tc AS (SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY doc_id, t),
+th AS (SELECT doc_id, cnt, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tc),
+bits AS (
+  SELECT doc_id, r.b AS b,
+         SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+  FROM th, (SELECT unnest(range(0, 64)) AS b) r
+  GROUP BY doc_id, r.b
+),
+sigu AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS s
+  FROM bits GROUP BY doc_id
+),
+sigf AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN COALESCE(g.s, 0) >= 9223372036854775808::HUGEINT
+                   THEN COALESCE(g.s, 0) - 18446744073709551616::HUGEINT
+                   ELSE COALESCE(g.s, 0) END AS BIGINT) AS sh
+  FROM documents d LEFT JOIN sigu g ON g.doc_id = d.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM sigf a JOIN sigf b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 6
+  AND ( ((a.sh >> 0)  & 65535) = ((b.sh >> 0)  & 65535)
+     OR ((a.sh >> 16) & 65535) = ((b.sh >> 16) & 65535)
+     OR ((a.sh >> 32) & 65535) = ((b.sh >> 32) & 65535)
+     OR ((a.sh >> 48) & 65535) = ((b.sh >> 48) & 65535))
+"""
+    # ---- label propagation, 4 synchronous rounds unrolled (the engine stops
+    # early at a fixpoint, which further rounds leave unchanged, so exactly-4
+    # rounds is equivalent); min-label tie-break via (cnt DESC, label ASC)
+    lp_rounds = []
+    for r in range(1, 5):
+        prev = f"l{r-1}"
+        lp_rounds.append(
+            f"n{r} AS (SELECT und.a AS id, l.label, COUNT(*) AS cnt "
+            f"FROM und JOIN {prev} l ON l.id = und.b GROUP BY und.a, l.label),\n"
+            f"b{r} AS (SELECT id, label AS new_label FROM ("
+            f"SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY cnt DESC, label ASC) AS rn FROM n{r}) WHERE rn = 1),\n"
+            f"l{r} AS (SELECT p.id, COALESCE(b{r}.new_label, p.label) AS label "
+            f"FROM {prev} p LEFT JOIN b{r} ON b{r}.id = p.id)"
+        )
+    LP4 = (
+        f"WITH e AS ({E}), v AS ({V}),\n"
+        f"und AS (SELECT DISTINCT a, b FROM ("
+        f"SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e"
+        f") WHERE a <> b),\n"
+        f"l0 AS (SELECT id, id AS label FROM v),\n"
+        + ",\n".join(lp_rounds)
+        + "\nSELECT id, label FROM l4"
+    )
+    # ---- converged PageRank: 12 unrolled power iterations + the engine's
+    # eps-stop rule (first k with L1 delta < 1e-5) applied in SQL, so the
+    # oracle adapts to however many iterations the graph actually needs
+    # (sf0.001 needs 8, sf0.01 needs 5, sf0.1 needs 3; capped at 12)
+    K_MAX = 12
+    conv_iters = []
+    for k in range(1, K_MAX + 1):
+        p = f"r{k-1}"
+        conv_iters.append(
+            f"dm{k-1} AS (SELECT COALESCE(SUM(p.r), 0) AS dm FROM {p} p "
+            f"LEFT JOIN deg ON deg.id = p.id WHERE deg.id IS NULL),\n"
+            f"tm{k-1} AS (SELECT SUM(r) AS tm FROM {p}),\n"
+            f"c{k} AS (SELECT e.dst AS id, SUM(p.r / deg.outdeg) AS contrib "
+            f"FROM e JOIN {p} p ON p.id = e.src JOIN deg ON deg.id = e.src "
+            f"GROUP BY e.dst),\n"
+            f"r{k} AS MATERIALIZED (SELECT v.id, 0.85 * (COALESCE(c{k}.contrib, 0) "
+            f"+ (SELECT dm FROM dm{k-1})/{N_VERTS}) "
+            f"+ 0.15/{N_VERTS} * (SELECT tm FROM tm{k-1}) AS r "
+            f"FROM v LEFT JOIN c{k} ON c{k}.id = v.id),\n"
+            f"dl{k} AS (SELECT SUM(ABS(a.r - b.r)) AS d FROM r{k} a "
+            f"JOIN {p} b ON a.id = b.id)"
+        )
+    delta_rows = ", ".join(f"({k}, (SELECT d FROM dl{k}))" for k in range(1, K_MAX + 1))
+    rank_union = " UNION ALL ".join(
+        f"SELECT {k} AS k, id, r FROM r{k}" for k in range(1, K_MAX + 1)
+    )
+    PRCONV = (
+        # MATERIALIZED: DuckDB inlines plain CTEs, which would re-expand the
+        # whole iteration chain (exponential plan) and reopen the parquet
+        # source hundreds of times
+        f"WITH e AS MATERIALIZED ({E}), v AS MATERIALIZED ({V}),\n"
+        f"deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src),\n"
+        f"r0 AS MATERIALIZED (SELECT id, 1.0/{N_VERTS} AS r FROM v),\n"
+        + ",\n".join(conv_iters)
+        + f",\nstop AS (SELECT COALESCE(MIN(k), {K_MAX}) AS k FROM "
+        f"(VALUES {delta_rows}) t(k, d) WHERE d < 1e-5),\n"
+        f"allr AS ({rank_union}),\n"
+        f"fin AS (SELECT id, r FROM allr WHERE k = (SELECT k FROM stop))\n"
+        f"SELECT id, CAST(ROUND(r / (SELECT SUM(ABS(r)) FROM fin) * 1e6) AS BIGINT) "
+        f"AS rank_e6 FROM fin"
+    )
+    # ---- exact embedding near-dup pairs over base + planted vectors
+    # (mirrors _emb_with_planted: vec_id < 25 re-inserted at id+1e6 with
+    # element 0 shifted +0.01)
+    EMB_EXACT = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id, list_concat([v[1] + 0.01], v[2:]) AS v
+  FROM base WHERE vec_id < 25
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b FROM p WHERE cos >= 0.9
+"""
     return {
         "outdegree": f"SELECT src AS id, COUNT(*) AS outdeg FROM ({E}) GROUP BY src",
         "top_indegree": (
@@ -458,7 +647,13 @@ WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.4
             f"(SELECT src, COUNT(*) AS outdeg FROM ({E}) GROUP BY src) GROUP BY outdeg"
         ),
         "pagerank_2iter": PR2,
+        "pagerank_converged": PRCONV,
         "connected_components": CC,
+        "label_propagation": LP4,
+        "dedup_simhash": SIMHASH,
+        "dedup_embedding_exact": EMB_EXACT,
+        "doc_langid": LANGID,
+        "doc_fingerprints": FPRINT,
         "triangle_count_global": f"SELECT COUNT(*) AS n_triangles FROM ({TRI})",
         "triangles_per_vertex": (
             f"WITH t AS ({TRI}), corners AS "

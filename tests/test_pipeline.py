@@ -152,3 +152,51 @@ def test_embedding_cosine_pairs_exact_vs_lsh(spark, emb):
     assert ap <= ex
     if ex:
         assert len(ap) / len(ex) >= 0.5
+
+
+def test_mulmod61_exact_vs_python_ints():
+    from pagerank_spark.pipeline.dedup import _MERSENNE, _mulmod61
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, _MERSENNE, size=2000, dtype=np.int64).astype(np.uint64)
+    y = rng.integers(0, _MERSENNE, size=2000, dtype=np.int64).astype(np.uint64)
+    got = _mulmod61(x, y)
+    want = np.array(
+        [(int(a) * int(b)) % _MERSENNE for a, b in zip(x, y)], dtype=np.uint64
+    )
+    assert np.array_equal(got, want)
+    # edge values
+    edge = np.array([0, 1, _MERSENNE - 1, (1 << 32) - 1, 1 << 60], dtype=np.uint64)
+    for a in edge:
+        for b in edge:
+            assert int(_mulmod61(np.array([a]), np.array([b]))[0]) == (
+                int(a) * int(b)
+            ) % _MERSENNE
+
+
+def test_ngram_df_cap_keeps_scores_exact(spark, docs):
+    """A hot shingle planted in every doc must not change reported pairs when
+    the DF cap drops it from candidate generation: every true pair still
+    shares non-hot shingles, and scores are recomputed from full arrays."""
+    hot = docs.withColumn("text", F.concat(F.lit("common boiler plate "), F.col("text")))
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(hot, threshold=0.4).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(hot, threshold=0.4, max_shingle_df=50).collect()
+    }
+    assert exact == capped
+    assert len(exact) > 0
+
+
+def test_ngram_df_cap_bounds_candidates(spark):
+    """With ONLY a hot shingle shared, the cap must eliminate the f^2 pair
+    blowup entirely (0 candidates instead of n*(n-1)/2)."""
+    rows = [(i, f"common boiler plate unique{i} filler{i} token{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, threshold=0.01).count()
+    capped = ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=10).count()
+    assert uncapped > 0
+    assert capped == 0

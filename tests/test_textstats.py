@@ -68,3 +68,37 @@ def test_fingerprints_deterministic_and_dup_sensitive(spark, docs):
     }
     for i in [r["doc_id"] for r in docs.limit(3).collect()]:
         assert fpd[i] == fpd[i + 1000]
+
+
+def test_fingerprint_matches_pure_python_reference(spark):
+    """Vectorized Mersenne rolling hash == naive big-int implementation."""
+    P = (1 << 61) - 1
+
+    def ref_fp(text: str, window: int = 8) -> int:
+        cps = [ord(c) for c in text]
+        if not cps:
+            return 0
+        w = min(window, len(cps))
+        best = None
+        for j in range(len(cps) - w + 1):
+            h = 0
+            for k in range(w):
+                h = (h * 257 + cps[j + k]) % P
+            best = h if best is None else min(best, h)
+        return best
+
+    texts = [
+        "",
+        "a",
+        "short",
+        "exactly8",
+        "a slightly longer document with words",
+        "unicode: caffè ☕ and emoji 🚀 here",
+        "aaaaaaaaaaaaaaaaaaaa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in document_fingerprints(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref_fp(t), f"mismatch for {t!r}"
