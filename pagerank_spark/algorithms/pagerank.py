@@ -164,11 +164,30 @@ class PageRank:
     ) -> PageRankResult:
         """edges: (src: long, dst: long), dense 0-based ids in [0, n)."""
         run_id = run_id or uuid.uuid4().hex[:12]
-        if self.mode == "csr":
+        mode = self.mode
+        if mode == "auto":
+            mode = self.dispatch_mode(n)
+        if mode == "csr":
             return self._run_csr(edges, n, run_id, resume)
-        if self.mode == "broadcast":
+        if mode == "broadcast":
             return self._run_broadcast(edges, n, run_id, resume)
         return self._run_dataframe(edges, n, run_id, resume)
+
+    # vertices above which the driver-resident rank vector (8 B/vertex, plus
+    # the same again broadcast per iteration) stops being sensible; beyond it
+    # only the fully distributed dataframe path scales. 2^27 = 128M vertices
+    # = ~1 GiB of float64 on the driver.
+    AUTO_CSR_MAX_VERTICES = 1 << 27
+
+    @classmethod
+    def dispatch_mode(cls, n: int) -> str:
+        """mode="auto" resolution: csr (driver-assembled rank vector, fastest
+        measured throughput) while the vector comfortably fits driver/executor
+        memory; dataframe (nothing driver-resident, 2 shuffles/iter) beyond.
+        The broadcast mode is never auto-chosen: it is dominated by csr on
+        throughput and by dataframe on scalability (kept for API parity and
+        as the JVM-only execution path)."""
+        return "csr" if n <= cls.AUTO_CSR_MAX_VERTICES else "dataframe"
 
     # ------------------------------------------------------- dataframe path
     def _run_dataframe(

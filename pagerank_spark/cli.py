@@ -171,8 +171,8 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--c", type=float, default=0.85)
     pr.add_argument("--eps", type=float, default=1e-5)
     pr.add_argument("--max-iter", type=int, default=200)
-    pr.add_argument("--mode", default="dataframe",
-                    choices=["dataframe", "broadcast", "csr"])
+    pr.add_argument("--mode", default="auto",
+                    choices=["auto", "dataframe", "broadcast", "csr"])
     pr.add_argument("--run-id", default=None)
     pr.add_argument("--resume", action="store_true")
     pr.add_argument("--text-output", default=None)
