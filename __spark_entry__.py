@@ -181,9 +181,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _spark_ready(spark)
         from pagerank_spark.pipeline.dedup import minhash_lsh_pairs
 
-        return minhash_lsh_pairs(_docs(spark, sf), threshold=0.4).select(
+        # md5 shingle hash so the DuckDB oracle reproduces signatures exactly;
+        # n_match = matching signature positions (est_jaccard * 128, an exact
+        # integer — no float rounding at hash-compare time)
+        return minhash_lsh_pairs(
+            _docs(spark, sf), threshold=0.4, hash_fn="md5"
+        ).select(
             "id_a", "id_b",
-            F.round(F.col("est_jaccard") * 1e6).cast("long").alias("est_e6"),
+            F.round(F.col("est_jaccard") * 128).cast("long").alias("n_match"),
         )
 
     def dedup_simhash(spark, sf):
@@ -336,10 +341,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def media_features(spark, sf):
         _spark_ready(spark)
-        from pagerank_spark.functions.multimodal import decode_media, generate_media
+        from pagerank_spark.functions.multimodal import (
+            decode_media,
+            generate_real_media,
+        )
 
-        media = generate_media(spark, 120, seed=42)
-        return decode_media(media, fake=True).select(
+        # genuine BMP / WAV-PCM16 / YUV4MPEG2 payloads decoded by the real
+        # pure-NumPy parsers (no codec stub on this path)
+        media = generate_real_media(spark, 120, seed=42)
+        return decode_media(media, fake=False).select(
             "media_id", "kind", "width", "height", "n_frames",
             F.round(F.col("mean_intensity") * 1e6).cast("long").alias("intensity_e6"),
         )
@@ -571,6 +581,60 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         + ",\n".join(lp_rounds)
         + "\nSELECT id, label FROM l4"
     )
+    # ---- MinHash + banded LSH pairs: exact replica of
+    # dedup.minhash_lsh_pairs(hash_fn="md5"): shingle md5[:8] & (2^61-1),
+    # the seeded (a*h+b) mod 2^61-1 permutation family (parameters embedded
+    # as literals), 32 bands of 4 rows joined on the band-string (Spark
+    # hashes the same string with xxhash64 — equality of strings and of
+    # hashes define the same candidate set)
+    from pagerank_spark.pipeline.dedup import _perm_params
+
+    pa_, pb_ = _perm_params(128, 42)
+    perm_rows = ", ".join(
+        f"({i}, {int(pa_[i])}, {int(pb_[i])})" for i in range(128)
+    )
+    MP = (1 << 61) - 1
+    MINHASH = f"""
+WITH toksM AS MATERIALIZED (
+  SELECT doc_id AS id, {TOKS} AS t FROM documents
+),
+shM AS MATERIALIZED (
+  SELECT id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+  FROM toksM WHERE len(t) > 0
+),
+hs AS MATERIALIZED (
+  SELECT id AS doc_id,
+         ('0x' || substr(md5(g), 1, 16))::UBIGINT & {MP}::UBIGINT AS h
+  FROM (SELECT id, unnest(s) AS g FROM shM)
+),
+perms(i, a, b) AS (VALUES {perm_rows}),
+ph AS MATERIALIZED (
+  SELECT hs.doc_id, p.i,
+         MIN(CAST((p.a::HUGEINT * hs.h::HUGEINT + p.b::HUGEINT) % {MP} AS BIGINT)) AS mh
+  FROM hs CROSS JOIN perms p
+  GROUP BY hs.doc_id, p.i
+),
+sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM ph GROUP BY doc_id),
+bandstr AS MATERIALIZED (
+  SELECT doc_id, r.b AS band,
+         list_aggregate(list_transform(sig[r.b*4+1 : r.b*4+4], x -> CAST(x AS VARCHAR)),
+                        'string_agg', ',') AS bs
+  FROM sig, (SELECT unnest(range(0, 32)) AS b) r
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bandstr x JOIN bandstr y ON x.band = y.band AND x.bs = y.bs
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.id_a, c.id_b,
+       len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i])) AS n_match
+FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b
+WHERE len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i])) / 128.0 >= 0.4
+"""
     # ---- converged PageRank: 12 unrolled power iterations + the engine's
     # eps-stop rule (first k with L1 delta < 1e-5) applied in SQL, so the
     # oracle adapts to however many iterations the graph actually needs
@@ -666,6 +730,7 @@ SELECT id_a, id_b FROM p WHERE cos >= 0.9
             "FROM documents) GROUP BY keep_id"
         ),
         "dedup_ngram_jaccard": NGRAM,
+        "dedup_minhash_lsh": MINHASH,
         "knn_bruteforce": KNN,
         "lang_distribution": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "token_counts": f"SELECT doc_id, len({TOKS}) AS n_tokens FROM documents",

@@ -36,7 +36,7 @@ def main() -> None:
     # headline graph: big enough that an iteration is >>10x the ~0.35s
     # Python-stage job floor at local[32], so edges/sec/iter measures SpMV
     # throughput rather than scheduler latency (judge round-1 finding)
-    n_edges_head = int(os.environ.get("BENCH_EDGES_HEADLINE", "256000000"))
+    n_edges_head = int(os.environ.get("BENCH_EDGES_HEADLINE", "1000000000"))
     n_verts_head = int(os.environ.get("BENCH_VERTICES_HEADLINE", "100000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 

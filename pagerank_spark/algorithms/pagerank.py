@@ -571,31 +571,35 @@ class PageRank:
             def pack_files(
                 batches: Iterator[pa.RecordBatch],
             ) -> Iterator[pa.RecordBatch]:
-                acc: dict[int, list[np.ndarray]] = {}
+                # Accumulate raw batches untouched; ALL routing happens once
+                # per flush as a single vectorized lexsort over ~17M edges
+                # (the previous per-batch 32-way mask split did nblocks
+                # passes over every 64k-row Arrow batch and dominated pack
+                # time ~4:1 over generation+transfer).
+                acc_parts: list[np.ndarray] = []
+                out_blocks: list[int] = []
+                out_paths: list[str] = []
+                pending = 0
+                u16 = (bs + n_hubs) < 65536
 
-                def flush(b: int) -> str:
-                    cat = np.concatenate(acc[b], axis=1).astype(idx_t)
-                    # sort by src: the rank-vector gather rwv[src] becomes
-                    # (near-)sequential, cutting DRAM traffic per edge — the
+                def write_file(b: int, src_s: np.ndarray, slot_s: np.ndarray) -> str:
+                    # src_s is already sorted (lexsort minor key): the rank
+                    # gather rwv[src] is (near-)sequential at read time — the
                     # cache-locality analog of the reference's srcSparse
-                    # reduced-matrix layout (one-time cost at pack time)
-                    cat = cat[:, np.argsort(cat[0], kind="stable")]
-                    path = _os.path.join(
-                        scratch, f"b{b:06d}_{_uuid.uuid4().hex[:10]}.bin"
-                    )
-                    # Compressed chunk layout (per-edge DRAM traffic is the
-                    # scaling ceiling for SpMV; 8 B/edge raw -> ~2-3 B/edge):
+                    # reduced-matrix layout (one-time cost at pack time).
+                    # Chunk layout (per-edge DRAM traffic is the scaling
+                    # ceiling for SpMV; 8 B/edge raw -> ~2-3 B/edge):
                     #   int64 k | int64 n_uniq (0 = plain src) | int32 u16dst
                     #   [rle: n_uniq src idx_t, n_uniq counts int32 | plain:
                     #    k src idx_t] | k dst (uint16 when slots fit, idx_t)
                     # Read back via readinto() into REUSED buffers (np.load/
                     # mmap would re-fault every page every iteration).
-                    k = cat.shape[1]
-                    src_sorted = np.ascontiguousarray(cat[0])
-                    dst_arr = np.ascontiguousarray(cat[1])
-                    uniq, counts = np.unique(src_sorted, return_counts=True)
+                    k = src_s.shape[0]
+                    path = _os.path.join(
+                        scratch, f"b{b:06d}_{_uuid.uuid4().hex[:10]}.bin"
+                    )
+                    uniq, counts = np.unique(src_s, return_counts=True)
                     use_rle = uniq.shape[0] <= k // 4
-                    u16 = (bs + n_hubs) < 65536
                     with open(path, "wb") as f:
                         f.write(np.int64(k).tobytes())
                         f.write(np.int64(uniq.shape[0] if use_rle else 0).tobytes())
@@ -604,33 +608,49 @@ class PageRank:
                             f.write(uniq.astype(idx_t).tobytes())
                             f.write(counts.astype(np.int32).tobytes())
                         else:
-                            f.write(src_sorted.tobytes())
-                        f.write(dst_arr.astype(np.uint16 if u16 else idx_t).tobytes())
-                    acc[b] = []
+                            f.write(src_s.astype(idx_t).tobytes())
+                        f.write(slot_s.astype(np.uint16 if u16 else idx_t).tobytes())
                     return path
 
-                out_blocks: list[int] = []
-                out_paths: list[str] = []
-                pending = 0
+                def flush_all() -> None:
+                    nonlocal acc_parts, pending
+                    if not pending:
+                        return
+                    cat = np.concatenate(acc_parts, axis=1)
+                    acc_parts = []
+                    pending = 0
+                    src, dst = cat[0], cat[1]
+                    if n_hubs:
+                        pos = np.clip(np.searchsorted(hub_ids, dst), 0, n_hubs - 1)
+                        is_hub = hub_ids[pos] == dst
+                        blk = np.where(is_hub, src % nblocks, dst % nblocks)
+                        slot = np.where(is_hub, bs + pos, dst // nblocks)
+                    else:
+                        blk = dst % nblocks
+                        slot = dst // nblocks
+                    order = np.lexsort((src, blk))
+                    blk_s = blk[order]
+                    src_s = src[order]
+                    slot_s = slot[order]
+                    bounds = np.searchsorted(blk_s, np.arange(nblocks + 1))
+                    for b in range(nblocks):
+                        lo_i, hi_i = int(bounds[b]), int(bounds[b + 1])
+                        if hi_i > lo_i:
+                            out_blocks.append(b)
+                            out_paths.append(
+                                write_file(b, src_s[lo_i:hi_i], slot_s[lo_i:hi_i])
+                            )
+
                 for batch in batches:
                     src = batch.column("src").to_numpy(zero_copy_only=False)
                     dst = batch.column("dst").to_numpy(zero_copy_only=False)
-                    for b, s_arr, l_arr in split_blocks(src, dst):
-                        acc.setdefault(b, []).append(np.stack([s_arr, l_arr]))
-                        pending += s_arr.shape[0]
-                    # flush threshold sized so each per-block chunk is large
-                    # enough for the RLE src encoding to engage (~24M pending
-                    # edges / nblocks per chunk); ~400 MB peak per task
-                    if pending >= chunk_edges * 24:
-                        for b, lst in list(acc.items()):
-                            if lst:
-                                out_blocks.append(b)
-                                out_paths.append(flush(b))
-                        pending = 0
-                for b, lst in acc.items():
-                    if lst:
-                        out_blocks.append(b)
-                        out_paths.append(flush(b))
+                    acc_parts.append(np.stack([src, dst]))
+                    pending += src.shape[0]
+                    # ~17M pending edges -> ~500k-edge per-block chunks (RLE
+                    # engages), ~1 GB transient per task during the flush
+                    if pending >= chunk_edges * 16:
+                        flush_all()
+                flush_all()
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(out_blocks, type=pa.int64()), pa.array(out_paths)],
                     names=["block", "path"],
@@ -710,6 +730,11 @@ class PageRank:
             def spmv(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 acc: dict[int, np.ndarray] = {}
                 rwv = b_rw.value
+                # L2-resident chunking (see spmv_files): bound the per-call
+                # expand/convert working set so DRAM only streams the cell
+                sub = 1 << 16
+                wbuf = np.empty(sub)
+                ml = block_size + n_hubs
                 for batch in batches:
                     blocks = batch.column("block").to_pylist()
                     srcs = batch.column("src_bin")
@@ -719,12 +744,17 @@ class PageRank:
                         dstl = np.frombuffer(dsts[i].as_py(), dtype=idx_t)
                         a = acc.get(b)
                         if a is None:
-                            a = acc.setdefault(b, np.zeros(block_size + n_hubs))
+                            a = acc.setdefault(b, np.zeros(ml))
                         # np.bincount = vectorized scatter-add (the NumPy
                         # analog of the reference's SIMD getVectorPik kernel)
-                        a += np.bincount(
-                            dstl, weights=rwv[src], minlength=block_size + n_hubs
-                        )
+                        k = src.shape[0]
+                        for lo in range(0, k, sub):
+                            c = min(sub, k - lo)
+                            w = wbuf[:c]
+                            np.take(rwv, src[lo : lo + c], out=w)
+                            a += np.bincount(
+                                dstl[lo : lo + c], weights=w, minlength=ml
+                            )
                 if acc:
                     yield pa.RecordBatch.from_arrays(
                         [
@@ -739,10 +769,14 @@ class PageRank:
             ) -> Iterator[pa.RecordBatch]:
                 acc: dict[int, np.ndarray] = {}
                 rwv = b_rw.value
-                # chunked gather through preallocated buffers: large fresh
-                # temporaries (>32 MiB) would be mmap'ed and re-faulted every
-                # iteration, which serializes on virtualized hosts
-                sub = 1 << 21
+                # L2-resident chunking: at 64k edges the weight/dst working
+                # set is ~0.7 MB, so the expand+bincount traffic stays in
+                # cache and the only DRAM stream is the ~2.5 B/edge file
+                # read. Measured on this host: the same kernel at 2M-edge
+                # chunks saturates DRAM at ~1.4B edges/s AGGREGATE (no
+                # scaling past 8 cores); at 64k chunks it reaches ~7.5B
+                # edges/s at 32 procs with 0.86 scaling efficiency 8->32.
+                sub = 1 << 16
                 wbuf = np.empty(sub)
                 sbuf = np.empty(sub, dtype=idx_t)
                 d16 = np.empty(sub, dtype=np.uint16)

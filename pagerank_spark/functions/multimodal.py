@@ -2,16 +2,23 @@
 
 Media travel as opaque ``binary`` columns with typed metadata, processed via
 ``mapInPandas`` in Arrow batches — the Spark-side schema, partitioning, UDF
-signatures, and batch shapes are real and tested. The actual codec step is
-STUBBED: no image/audio libraries ship in this container, so ``decode_media``
-either raises NotImplementedError (real mode) or runs a deterministic fake
-decoder (``fake=True``) that parses the engine's own fake header format. Swap
-``_decode_real`` for a Pillow/ffmpeg call on a real cluster; nothing else
-changes.
+signatures, and batch shapes are all real and tested.
 
-Fake payload format (produced by make_fake_media): b"FAKE" + kind byte
-(0=image,1=audio,2=video) + uint16 width + uint16 height + uint16 n_frames +
-deterministic pixel bytes.
+REAL codecs (pure struct/NumPy, no external libraries needed):
+
+- image: uncompressed 24-bit BI_RGB **BMP** (standard header, 4-byte row
+  padding, bottom-up rows; grayscale = integer RGB mean)
+- audio: **WAV** RIFF PCM16 (chunk walk for fmt/data; "intensity" = mean
+  absolute amplitude scaled to [0, 255]; width = samples/channel,
+  height = channels)
+- video: **YUV4MPEG2 (.y4m)** C420 (textual header + FRAME-delimited planar
+  frames; grayscale = Y plane)
+
+Compressed formats (JPEG/PNG/MP3/H.264) genuinely need codec libraries that
+do not ship in this container; payloads that are none of the above raise
+NotImplementedError — that is the only remaining stub. The legacy
+deterministic "FAKE" header format is still accepted (fake=True) so old
+fixtures keep working.
 """
 
 from __future__ import annotations
@@ -69,10 +76,165 @@ def generate_media(spark, n: int, seed: int = 42, num_partitions: int = 8) -> Da
     return spark.range(0, n, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def _decode_real(payload: bytes) -> np.ndarray:
+def generate_real_media(
+    spark, n: int, seed: int = 42, num_partitions: int = 8
+) -> DataFrame:
+    """Deterministic table of GENUINE media payloads (BMP / WAV / Y4M),
+    metadata filled by actually decoding what was encoded."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = list(_KINDS)
+        for batch in batches:
+            rows = []
+            for i in batch["id"]:
+                i = int(i)
+                kind = kinds[i % 3]
+                payload = make_real_media(i, kind, seed)
+                k, w, h, fr, _ = _decode_payload(payload, allow_fake=False)
+                assert k == kind
+                rows.append((i, kind, payload, w, h, fr))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "width", "height", "n_frames"],
+            )
+
+    return spark.range(0, n, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------------ real encoders
+def make_bmp(pixels_rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> standard uncompressed 24-bit BMP bytes."""
+    h, w, _ = pixels_rgb.shape
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4-byte boundary
+    img_size = row_bytes * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (row_bytes - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        # BMP stores BGR
+        rows.append(pixels_rgb[y, :, ::-1].tobytes() + pad)
+    return header + dib + b"".join(rows)
+
+
+def make_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """(channels, n) int16 -> RIFF WAVE PCM16 bytes (interleaved)."""
+    ch, n = samples.shape
+    inter = samples.T.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(inter), b"WAVE")
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(inter)) + inter
+    )
+
+
+def make_y4m(frames_y: np.ndarray, fps: int = 25) -> bytes:
+    """(n_frames, h, w) uint8 luma (even h, w) -> YUV4MPEG2 C420 bytes
+    (chroma planes set to neutral 128)."""
+    fr, h, w = frames_y.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    uv = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    out = [head]
+    for f in range(fr):
+        out.append(b"FRAME\n" + frames_y[f].tobytes() + uv + uv)
+    return b"".join(out)
+
+
+def make_real_media(media_id: int, kind: str, seed: int = 42) -> bytes:
+    """Deterministic genuine BMP / WAV / Y4M payload for a media id."""
+    rng = np.random.default_rng([seed, media_id])
+    if kind == "image":
+        w, h = int(rng.integers(4, 64)), int(rng.integers(4, 64))
+        return make_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+    if kind == "audio":
+        ch = int(rng.integers(1, 3))
+        n = int(rng.integers(256, 4096))
+        return make_wav(rng.integers(-32768, 32768, size=(ch, n), dtype=np.int16))
+    w, h = int(rng.integers(2, 32)) * 2, int(rng.integers(2, 32)) * 2
+    fr = int(rng.integers(2, 16))
+    return make_y4m(rng.integers(0, 256, size=(fr, h, w), dtype=np.uint8))
+
+
+# ------------------------------------------------------------ real decoders
+def _decode_bmp(b: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    magic, _fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", b, 0)
+    hdr_size, w, h_signed, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}: only 24-bit BI_RGB supported")
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, np.uint8, row_bytes * h, off).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        bgr = bgr[::-1]  # bottom-up storage
+    gray = bgr.astype(np.uint16).sum(axis=2) // 3  # integer RGB mean
+    return "image", w, h, 1, gray.astype(np.uint8)[None, :, :]
+
+
+def _decode_wav(b: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    pos, ch, bits = 12, None, None
+    data = None
+    while pos + 8 <= len(b):
+        cid, sz = struct.unpack_from("<4sI", b, pos)
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            _fmt, ch, _sr, _bps, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if _fmt != 1 or bits != 16:
+                raise NotImplementedError(f"WAV fmt={_fmt} bits={bits}: only PCM16 supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    assert ch and data is not None, "missing fmt/data chunk"
+    samples = np.frombuffer(data, "<i2").reshape(-1, ch).T  # (ch, n)
+    n = samples.shape[1]
+    # "intensity" image: |amplitude| scaled to [0, 255], one row per channel
+    gray = (np.abs(samples.astype(np.int32)) * 255 // 32767).astype(np.uint8)
+    return "audio", n, ch, 1, gray[None, :, :]
+
+
+def _decode_y4m(b: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    nl = b.index(b"\n")
+    params = b[:nl].decode().split()
+    assert params[0] == "YUV4MPEG2"
+    w = h = None
+    for p in params[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("C") and p[1:] not in ("420", "420jpeg", "420mpeg2"):
+            raise NotImplementedError(f"y4m chroma {p}: only C420 supported")
+    assert w and h
+    frame_sz = w * h + 2 * (w // 2) * (h // 2)
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.index(b"\n", pos)
+        assert b[pos : pos + 5] == b"FRAME"
+        y = np.frombuffer(b, np.uint8, w * h, fnl + 1).reshape(h, w)
+        frames.append(y)
+        pos = fnl + 1 + frame_sz
+    return "video", w, h, len(frames), np.stack(frames)
+
+
+def _decode_payload(payload: bytes, allow_fake: bool) -> tuple[str, int, int, int, np.ndarray]:
+    """Sniff the container magic and decode; grayscale frames out."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:9] == b"YUV4MPEG2":
+        return _decode_y4m(payload)
+    if payload[:4] == b"FAKE" and allow_fake:
+        return _decode_fake(payload)
     raise NotImplementedError(
-        "real media decoding requires Pillow/ffmpeg, not present in this "
-        "container; use fake=True or plug a codec in here"
+        "unrecognized/compressed media container: only BMP, WAV(PCM16), "
+        "YUV4MPEG2 decode without external codec libraries"
     )
 
 
@@ -95,9 +257,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
         for batch in batches:
             rows = []
             for mid, payload in zip(batch["media_id"], batch["payload"]):
-                if not fake:
-                    _decode_real(bytes(payload))
-                kind, w, h, fr, px = _decode_fake(bytes(payload))
+                kind, w, h, fr, px = _decode_payload(bytes(payload), allow_fake=fake)
                 first = px[0].astype(np.float64)
                 ys = np.linspace(0, h - 1, 8).astype(int)
                 xs = np.linspace(0, w - 1, 8).astype(int)
@@ -123,9 +283,7 @@ def sample_frames(media: DataFrame, every: int = 2, fake: bool = False) -> DataF
         for batch in batches:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(batch["media_id"], batch["payload"]):
-                if not fake:
-                    _decode_real(bytes(payload))
-                kind, w, h, fr, px = _decode_fake(bytes(payload))
+                kind, w, h, fr, px = _decode_payload(bytes(payload), allow_fake=fake)
                 if kind != "video":
                     continue
                 for fi in range(0, fr, every):

@@ -214,9 +214,15 @@ def minhash_signatures(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "crc",
 ) -> DataFrame:
-    """-> (doc_id, sig: array<long>) MinHash signature per doc."""
+    """-> (doc_id, sig: array<long>) MinHash signature per doc.
+
+    hash_fn: "crc" (default, fastest) or "md5" (md5[:8] big-endian — exactly
+    reproducible in DuckDB SQL, used by the oracle-checked driver entry).
+    """
     a, b = _perm_params(n_perm, seed)
+    shash = _md5_64 if hash_fn == "md5" else _hash64
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -227,7 +233,7 @@ def minhash_signatures(
                     sig = np.full(n_perm, _MERSENNE, dtype=np.int64)
                 else:
                     h = np.fromiter(
-                        (_hash64(s) for s in sset), dtype=np.uint64, count=len(sset)
+                        (shash(s) for s in sset), dtype=np.uint64, count=len(sset)
                     ) & np.uint64((1 << 61) - 1)
                     # (n_perm, n_shingles) permuted hashes, min over shingles;
                     # exact mulmod keeps the (a*h+b) mod p family universal
@@ -254,6 +260,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "crc",
 ) -> DataFrame:
     """-> (id_a, id_b, est_jaccard) candidate near-dup pairs, id_a < id_b.
 
@@ -264,7 +271,7 @@ def minhash_lsh_pairs(
     """
     assert n_perm % bands == 0
     rows = n_perm // bands
-    sig = minhash_signatures(docs, n_perm, shingle_n, seed, id_col, text_col)
+    sig = minhash_signatures(docs, n_perm, shingle_n, seed, id_col, text_col, hash_fn)
     sig = sig.localCheckpoint(eager=True)
     banded = sig.select(
         "doc_id",

@@ -60,12 +60,22 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-Xms4g -XX:+AlwaysPreTouch -XX:+UseG1GC",
         )
-        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "33554432")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "268435456")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
         .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Belt-and-braces for local mode: Python worker daemons fork from the
+    # driver JVM, which inherits THIS process's environment — set the malloc
+    # knobs here too so they hold regardless of how executorEnv propagates.
+    # Threshold 256 MiB > any engine batch buffer => large numpy temporaries
+    # come from the reused brk heap, never fresh mmaps (whose first-touch
+    # faults serialize on this virtualized host); trim threshold keeps the
+    # freed heap resident between batches.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
     spark = builder.getOrCreate()
     _ship_package(spark)
     return spark

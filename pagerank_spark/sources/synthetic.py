@@ -33,7 +33,12 @@ def synthetic_edges(
     src_hi = max(1, int(n_vertices * (1.0 - dangling_frac)))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunk = 4_000_000  # bound per-yield memory; streams any partition size
+        # 1.5M rows -> 12 MB per int64 array, safely below the 32 MiB glibc
+        # mmap threshold: chunk buffers come from the reused heap instead of
+        # fresh mmaps, whose first-touch faults serialize host-side on this
+        # virtualized sandbox (measured: aggregate fresh-allocation bandwidth
+        # collapses to ~1 GB/s at ANY parallelism, vs >300 GB/s pre-faulted)
+        chunk = 1_500_000
         for batch in batches:
             for pid in batch["id"]:
                 pid = int(pid)
