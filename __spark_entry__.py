@@ -2,9 +2,14 @@
 
 Each ``queries()`` entry exercises a pagerank_spark engine operator
 (SURVEY.md §2) over the driver-provided parquet tables; ``oracle_sql()``
-holds the DuckDB-equivalent ANSI SQL for every SQL-expressible operator
-(iterative/LSH/signature ops are rows-only by design — the driver records the
-weaker check for those).
+holds the DuckDB-equivalent ANSI SQL — 23 of the 27 queries have an exact
+oracle, including converged PageRank (unrolled iterations + the eps-stop rule
+applied in SQL), MinHash+LSH (permutation constants embedded as literals),
+SimHash (md5 bit arithmetic), and rolling-hash fingerprints (HUGEINT Horner).
+Rows-only by design: ``knn_lsh`` / ``dedup_embedding_lsh`` (random-hyperplane
+signatures need the seeded planes; their exact twins ``knn_bruteforce`` /
+``dedup_embedding_exact`` are oracle-checked) and ``media_features``
+(binary payloads can't be synthesized in SQL).
 
 Graph queries derive a deterministic 200-vertex link graph from ``orders``
 (src = o_custkey % 200, dst = o_orderkey % 200, distinct) so the Spark and

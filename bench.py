@@ -65,23 +65,10 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # ---- synthetic link graph (deterministic, Zipf hub skew) ----
-    edges = synthetic_edges(
-        spark, n_vertices, n_edges, seed=42, num_partitions=cpus
-    ).persist()
-    m = edges.count()
-
-    # headline: north-star metric = PageRank edges/sec per iteration; all
-    # three physical strategies, fixed 8 iterations for stable per-iter stats
-    res_bc = timed(
-        "pagerank_broadcast_8iter",
-        lambda: PageRank(mode="broadcast", max_iter=8, eps=0.0).run(edges, n_vertices),
-    )
-    extra["edges_per_sec_per_iter_broadcast"] = round(res_bc.edges_per_sec_per_iter, 1)
-
-    # headline: csr:files on the big graph, unpersisted (the pack phase
-    # streams generation straight into block files; caching 256M rows in the
-    # JVM first would only add memory pressure). Throughput = median
+    # ---- headline FIRST, on a clean heap: csr:files on the big graph,
+    # unpersisted (the pack phase streams generation straight into block
+    # files; running this after the 32M graph is cached was measured to
+    # inflate pack time >1.5x via JVM heap/GC pressure). Throughput = median
     # per-iteration seconds excluding the warm-up iteration.
     head_edges = synthetic_edges(
         spark, n_verts_head, n_edges_head, seed=42, num_partitions=cpus
@@ -97,6 +84,18 @@ def main() -> None:
     extra["edges_per_sec_per_iter_csr"] = round(n_edges_head / med, 1)
     extra["headline_graph"] = {"n_vertices": n_verts_head, "n_edges": n_edges_head}
     extra["csr_iter_seconds"] = [round(s, 3) for s in res_csr.iter_seconds]
+
+    # ---- synthetic link graph (deterministic, Zipf hub skew) ----
+    edges = synthetic_edges(
+        spark, n_vertices, n_edges, seed=42, num_partitions=cpus
+    ).persist()
+    m = edges.count()
+
+    res_bc = timed(
+        "pagerank_broadcast_8iter",
+        lambda: PageRank(mode="broadcast", max_iter=8, eps=0.0).run(edges, n_vertices),
+    )
+    extra["edges_per_sec_per_iter_broadcast"] = round(res_bc.edges_per_sec_per_iter, 1)
 
     res_df = timed(
         "pagerank_dataframe_3iter",

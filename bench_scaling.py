@@ -82,11 +82,14 @@ spark.stop()
 
 
 def run(cores: int, n: int, m: int, mode: str, repo: str,
-        scratch: str | None, nblocks: int | None, iters: int) -> dict:
+        scratch: str | None, nblocks: int | None, iters: int,
+        env_extra: dict | None = None) -> dict:
     code = RUNNER.format(repo=repo)
     argv = [sys.executable, "-c", code, str(cores), str(n), str(m), mode,
             scratch or "-", str(nblocks or 0), str(iters)]
-    out = subprocess.run(argv, capture_output=True, text=True, timeout=7200)
+    env = dict(os.environ, **(env_extra or {}))
+    out = subprocess.run(argv, capture_output=True, text=True, timeout=7200,
+                         env=env)
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"runner failed (cores={cores}):\n{out.stderr[-2000:]}")
@@ -164,14 +167,21 @@ def main() -> None:
 
     results: dict[int, dict] = {}
     cells_run = None
+    cells_err = None
     ceiling = measure_ceiling()
     try:
         for cores in cores_needed:  # largest first: packs fastest, warms cache
             results[cores] = run(cores, args.vertices, args.edges, args.mode,
                                  repo, scratch, nblocks, args.iters)
         if args.cells:
-            cells_run = run(32, args.vertices, args.edges, "csr:cells",
-                            repo, None, nblocks, args.iters)
+            try:
+                # in-JVM block cache holds the whole packed graph: size the
+                # driver heap to fit it (local mode: driver == executor)
+                cells_run = run(32, args.vertices, args.edges, "csr:cells",
+                                repo, None, nblocks, args.iters,
+                                env_extra={"SPARK_GRAFT_DRIVER_MEM": "48g"})
+            except Exception as ex:  # cells is an attachment, not the evidence
+                cells_err = str(ex)[:500]
     finally:
         if scratch and not args.keep_scratch:
             shutil.rmtree(scratch, ignore_errors=True)
@@ -257,6 +267,13 @@ def main() -> None:
             f"median iter {cells_run['iter_sec_med']:.3f}s = "
             f"{cells_run['edges_per_sec_per_iter']:,.0f} edges/s/iter "
             f"(iter seconds: {cells_run['iter_seconds']})",
+            "",
+        ]
+    elif cells_err:
+        lines += [
+            "## csr:cells attachment",
+            "",
+            f"cells run failed at this edge count: {cells_err}",
             "",
         ]
     for c in sorted(results):
