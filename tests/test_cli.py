@@ -83,3 +83,40 @@ def test_auto_dispatch_boundaries():
     assert PageRank.dispatch_mode(1000) == "csr"
     assert PageRank.dispatch_mode(PageRank.AUTO_CSR_MAX_VERTICES) == "csr"
     assert PageRank.dispatch_mode(PageRank.AUTO_CSR_MAX_VERTICES + 1) == "dataframe"
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files(tmp_path):
+    """The north-rule launch path: spark-submit --py-files <pkg zip> runs the
+    engine with no repo on sys.path — the same mechanism a multi-executor
+    cluster submission uses."""
+    import shutil
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("no spark-submit on this host")
+    sys.path.insert(0, REPO)
+    from pagerank_spark.session import package_zip
+
+    zip_path = package_zip(str(tmp_path))
+    job = tmp_path / "job.py"
+    job.write_text(
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.appName('submit_smoke').getOrCreate()\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "from pagerank_spark.sources.graphfile import read_graph_file\n"
+        "from pagerank_spark.algorithms.pagerank import PageRank\n"
+        "edges, n = read_graph_file(spark, "
+        "'/root/reference/Pagerank/src/test1.graph')\n"
+        "res = PageRank(mode='auto').run(edges, n)\n"
+        "print('RESULT iters=%d rows=%d' % (res.iterations, res.ranks.count()))\n"
+        "spark.stop()\n"
+    )
+    out = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path, str(job)],
+        capture_output=True, text=True, timeout=420,
+        env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")]
+    assert line and "iters=7" in line[0] and "rows=2319" in line[0], out.stdout[-500:]
