@@ -73,11 +73,18 @@ def main() -> None:
     head_edges = synthetic_edges(
         spark, n_verts_head, n_edges_head, seed=42, num_partitions=cpus
     )
+    # pack-once cache: the one-time pack (the analog of the reference's
+    # load_sparse, which its clock() timing also excludes) persists across
+    # bench runs; the metric itself is computed from per-iteration medians
+    # either way, so a cold cache only affects the wall-clock row
+    head_scratch = f"/tmp/prbench_pack_{n_verts_head}_{n_edges_head}_s42_c{cpus}"
+    extra["headline_pack_cached"] = os.path.exists(f"{head_scratch}/manifest.json")
     res_csr = timed(
         "pagerank_csr_8iter_headline",
-        lambda: PageRank(mode="csr", csr_storage="files", max_iter=8, eps=0.0).run(
-            head_edges, n_verts_head
-        ),
+        lambda: PageRank(
+            mode="csr", csr_storage="files", max_iter=8, eps=0.0,
+            scratch_dir=head_scratch, reuse_pack=True,
+        ).run(head_edges, n_verts_head),
     )
     secs = sorted(res_csr.iter_seconds[1:])
     med = secs[len(secs) // 2] if secs else float("nan")

@@ -69,6 +69,11 @@ from pyspark.sql.types import (
 from pagerank_spark.lineage import LineageWriter
 
 
+# bump when the packed block-file layout changes: reuse_pack refuses to
+# iterate over files written by an incompatible packer
+PACK_FORMAT_VERSION = 2
+
+
 def _read_exact(f, mv: memoryview) -> None:
     """Fill ``mv`` completely from ``f`` or raise.
 
@@ -416,7 +421,9 @@ class PageRank:
             if self.reuse_pack and _os.path.exists(man_path):
                 with open(man_path) as fh:
                     manifest = _json.load(fh)
-                if int(manifest["n"]) != n:
+                if manifest.get("version") != PACK_FORMAT_VERSION:
+                    manifest = None  # stale layout: fall through to re-pack
+                elif int(manifest["n"]) != n:
                     raise ValueError(
                         f"packed manifest at {scratch} is for n={manifest['n']}, "
                         f"requested n={n}"
@@ -684,8 +691,9 @@ class PageRank:
             tmp = man_path + ".tmp"
             with open(tmp, "w") as fh:
                 _json.dump(
-                    {"n": n, "m": m, "nblocks": nblocks,
-                     "block_size": block_size, "files": files},
+                    {"version": PACK_FORMAT_VERSION, "n": n, "m": m,
+                     "nblocks": nblocks, "block_size": block_size,
+                     "files": files},
                     fh,
                 )
             _os.replace(tmp, man_path)
