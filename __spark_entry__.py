@@ -2,14 +2,14 @@
 
 Each ``queries()`` entry exercises a pagerank_spark engine operator
 (SURVEY.md §2) over the driver-provided parquet tables; ``oracle_sql()``
-holds the DuckDB-equivalent ANSI SQL — 23 of the 27 queries have an exact
+holds the DuckDB-equivalent ANSI SQL — 23 of the 28 queries have an exact
 oracle, including converged PageRank (unrolled iterations + the eps-stop rule
 applied in SQL), MinHash+LSH (permutation constants embedded as literals),
 SimHash (md5 bit arithmetic), and rolling-hash fingerprints (HUGEINT Horner).
-Rows-only by design: ``knn_lsh`` / ``dedup_embedding_lsh`` (random-hyperplane
-signatures need the seeded planes; their exact twins ``knn_bruteforce`` /
-``dedup_embedding_exact`` are oracle-checked) and ``media_features``
-(binary payloads can't be synthesized in SQL).
+Rows-only by design: ``knn_lsh`` / ``knn_ivf`` / ``dedup_embedding_lsh``
+(seeded hyperplanes / k-means centroids aren't SQL-expressible; their exact
+twins ``knn_bruteforce`` / ``dedup_embedding_exact`` are oracle-checked) and
+``media_features`` (binary payloads can't be synthesized in SQL).
 
 Graph queries derive a deterministic 200-vertex link graph from ``orders``
 (src = o_custkey % 200, dst = o_orderkey % 200, distinct) so the Spark and
@@ -263,6 +263,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", "rank"
         )
 
+    def knn_ivf(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.similarity import ivf_topk
+
+        emb = _emb(spark, sf)
+        dim = len(emb.first()["embedding"])
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        return ivf_topk(emb, q, dim=dim, k=K_NN, n_lists=16, n_probe=6).select(
+            "query_id", "neighbor_id", "rank"
+        )
+
     def lang_distribution(spark, sf):
         return (
             _docs(spark, sf)
@@ -378,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_exact": dedup_embedding_exact,
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,
+        "knn_ivf": knn_ivf,
         "lang_distribution": lang_distribution,
         "token_counts": token_counts,
         "doc_quality": doc_quality,

@@ -160,6 +160,112 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _kmeans_centroids(
+    sample: np.ndarray, n_lists: int, seed: int, iters: int = 8
+) -> np.ndarray:
+    """Deterministic tiny k-means (L2, k-means++-lite seeding) on a driver
+    sample; returns (n_lists, dim) float64 centroids, each L2-normalized so
+    cosine assignment = dot product."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    idx = [int(rng.integers(0, x.shape[0]))]
+    for _ in range(1, n_lists):
+        d = 1.0 - np.max(x @ x[idx].T, axis=1)  # cosine distance to chosen
+        probs = np.maximum(d, 1e-9)
+        idx.append(int(rng.choice(x.shape[0], p=probs / probs.sum())))
+    c = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_lists):
+            members = x[assign == j]
+            if members.shape[0]:
+                m = members.mean(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_size: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize vectors into
+    n_lists cells (k-means centroids from a deterministic sample), probe the
+    n_probe closest cells per query, exact-cosine re-rank candidates.
+
+    The 100 TB shape: centroid training is a driver-side O(sample) step, the
+    assignment is one partition-parallel Arrow pass, and each query touches
+    only ~n_probe/n_lists of the corpus via the cell equi-join (the same
+    probe-vs-scan trade as FAISS IVF-Flat). Returns
+    (query_id, neighbor_id, cosine, rank).
+    """
+    # deterministic sample: smallest hash(vec_id) order, collected via Arrow
+    sample_df = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+    )
+    sample = np.array(
+        [list(r[1]) for r in sample_df.collect()], dtype=np.float64
+    )
+    cent = _kmeans_centroids(sample, n_lists, seed)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                yield pd.DataFrame({"vec_id": [], "list_id": []})
+                continue
+            mat = np.array(batch[vec_col].tolist(), dtype=np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {"vec_id": batch[id_col], "list_id": np.argmax(mat @ cent.T, axis=1)}
+            )
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, "vec_id long, list_id int"
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, lists = [], []
+            for qid, vec in zip(batch[id_col], batch[vec_col]):
+                v = np.asarray(list(vec), dtype=np.float64)
+                v = v / max(np.linalg.norm(v), 1e-12)
+                top = np.argsort(-(cent @ v))[:n_probe]
+                ids.extend([qid] * len(top))
+                lists.extend(int(t) for t in top)
+            yield pd.DataFrame({"query_id": ids, "list_id": lists})
+
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        probe, "query_id long, list_id int"
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(e, "neighbor_id")
+        .select("query_id", "neighbor_id", _cosine("qvec", "nvec").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
