@@ -2,7 +2,7 @@
 
 Each ``queries()`` entry exercises a pagerank_spark engine operator
 (SURVEY.md §2) over the driver-provided parquet tables; ``oracle_sql()``
-holds the DuckDB-equivalent ANSI SQL — 23 of the 28 queries have an exact
+holds the DuckDB-equivalent ANSI SQL — 24 of the 28 queries have an exact
 oracle, including converged PageRank (unrolled iterations + the eps-stop rule
 applied in SQL), MinHash+LSH (permutation constants embedded as literals),
 SimHash (md5 bit arithmetic), and rolling-hash fingerprints (HUGEINT Horner).
