@@ -146,6 +146,22 @@ def main() -> None:
     # ---- corpus ops over driver tables ----
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+    # hot-shingle robustness: every doc shares a planted boilerplate prefix
+    # (the f^2 inverted-index blowup case); the DF cap keeps the candidate
+    # join bounded while scores stay exact (recomputed from full arrays)
+    from pagerank_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    hot_docs = docs.withColumn(
+        "text", F.concat(F.lit("common boiler plate prefix "), F.col("text"))
+    )
+    n_docs = docs.count()
+    extra["ngram_dfcap_docs"] = n_docs
+    timed(
+        "dedup_ngram_hot_dfcap",
+        lambda: ngram_jaccard_pairs(
+            hot_docs, threshold=0.4, max_shingle_df=max(50, n_docs // 100)
+        ).count(),
+    )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
     timed("knn_bruteforce", lambda: brute_force_topk(emb, q, k=10).count())
