@@ -59,13 +59,10 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _checksum(e: DataFrame) -> tuple[int, int]:
-    # bit_xor: order-insensitive and overflow-free (the edge set is dedup'ed,
-    # so set semantics hold; Spark 4 ANSI mode rejects a sum() that overflows)
-    row = e.agg(
-        F.count(F.lit(1)).alias("c"),
-        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-    ).first()
-    return int(row["c"]), int(row["h"])
+    # set fingerprint of the dedup'ed edge set (shared helper; see util)
+    from pagerank_spark.util import set_checksum
+
+    return set_checksum(e, "u", "v")
 
 
 def connected_components(

@@ -35,16 +35,9 @@ def label_propagation(
         eager=True
     )
 
-    def _checksum(lbl: DataFrame) -> tuple[int, int]:
-        # one cheap scan, no join: order-insensitive set fingerprint of the
-        # (id, label) assignment (same scheme as components._checksum)
-        row = lbl.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.coalesce(F.expr("bit_xor(xxhash64(id, label))"), F.lit(0)).alias("h"),
-        ).first()
-        return int(row["c"]), int(row["h"])
+    from pagerank_spark.util import set_checksum
 
-    prev_sum = _checksum(labels) if check_convergence else None
+    prev_sum = set_checksum(labels, "id", "label") if check_convergence else None
     for _ in range(max_iter):
         nbr = (
             und.join(labels, und.b == labels.id)
@@ -62,7 +55,7 @@ def label_propagation(
         labels.unpersist()
         labels = new_labels
         if check_convergence:
-            cur_sum = _checksum(labels)
+            cur_sum = set_checksum(labels, "id", "label")
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum

@@ -156,7 +156,11 @@ class PageRank:
         # previous pack of the SAME graph, skip generation/degree/pack entirely
         # and iterate over the existing packed files (pack once, run many —
         # what the scaling bench uses so lo- and hi-parallelism configs read
-        # identical bytes).
+        # identical bytes). The manifest records format version, n and
+        # nblocks, which are validated; the edge CONTENT is the caller's
+        # responsibility — pointing a scratch dir packed from graph A at a
+        # different graph B with the same vertex count silently computes A's
+        # ranks, so key the scratch path on the graph identity.
         self.reuse_pack = reuse_pack
 
     # ------------------------------------------------------------------ API
@@ -428,6 +432,18 @@ class PageRank:
                         f"packed manifest at {scratch} is for n={manifest['n']}, "
                         f"requested n={n}"
                     )
+                elif (
+                    self.num_blocks is not None
+                    and int(manifest["nblocks"]) != self.num_blocks
+                ):
+                    raise ValueError(
+                        f"packed manifest at {scratch} has nblocks="
+                        f"{manifest['nblocks']}, requested {self.num_blocks}"
+                    )
+                # NOTE: the edge CONTENT cannot be cross-checked without
+                # scanning the source (which reuse exists to avoid) — the
+                # caller owns the scratch dir and must not point two
+                # different graphs of the same n at it (see reuse_pack doc)
 
         idx_t = np.int32 if n < 2**31 else np.int64
 
@@ -682,6 +698,12 @@ class PageRank:
         outdeg = np.zeros(n)
         outdeg[deg_tbl.column("src").to_numpy()] = deg_tbl.column("outdeg").to_numpy()
 
+        # persist the manifest only when the scratch dir can outlive this run
+        # (explicit scratch_dir); a throwaway mkdtemp is deleted at the end,
+        # so writing outdeg/hub arrays there would be pure overhead
+        if self.scratch_dir is None:
+            man_path = None
+
         if man_path is not None:
             # persist everything the iterations need so a later run with
             # reuse_pack=True skips generation/degrees/pack entirely
@@ -739,10 +761,13 @@ class PageRank:
                 acc: dict[int, np.ndarray] = {}
                 rwv = b_rw.value
                 # L2-resident chunking (see spmv_files): bound the per-call
-                # expand/convert working set so DRAM only streams the cell
-                sub = 1 << 16
-                wbuf = np.empty(sub)
+                # expand/convert working set so DRAM only streams the cell.
+                # Each bincount also zeroes+adds an O(ml) output, so sub must
+                # grow with ml or tiny chunks pay O(ml) per 64k edges when
+                # blocks are large (review finding, round 2).
                 ml = block_size + n_hubs
+                sub = min(1 << 21, max(1 << 16, 4 * ml))
+                wbuf = np.empty(sub)
                 for batch in batches:
                     blocks = batch.column("block").to_pylist()
                     srcs = batch.column("src_bin")
@@ -784,13 +809,15 @@ class PageRank:
                 # chunks saturates DRAM at ~1.4B edges/s AGGREGATE (no
                 # scaling past 8 cores); at 64k chunks it reaches ~7.5B
                 # edges/s at 32 procs with 0.86 scaling efficiency 8->32.
-                sub = 1 << 16
+                # bincount zeroes+adds an O(ml) output per call, so sub also
+                # scales with ml to keep that amortized when blocks are big.
+                ml = block_size + n_hubs
+                sub = min(1 << 21, max(1 << 16, 4 * ml))
                 wbuf = np.empty(sub)
                 sbuf = np.empty(sub, dtype=idx_t)
                 d16 = np.empty(sub, dtype=np.uint16)
                 dxx = np.empty(sub, dtype=idx_t)
                 isz = np.dtype(idx_t).itemsize
-                ml = block_size + n_hubs
                 for batch in batches:
                     blocks = batch.column("block").to_pylist()
                     paths = batch.column("path").to_pylist()

@@ -176,7 +176,8 @@ def _decode_bmp(b: bytes) -> tuple[str, int, int, int, np.ndarray]:
 
 
 def _decode_wav(b: bytes) -> tuple[str, int, int, int, np.ndarray]:
-    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
     pos, ch, bits = 12, None, None
     data = None
     while pos + 8 <= len(b):
@@ -189,7 +190,8 @@ def _decode_wav(b: bytes) -> tuple[str, int, int, int, np.ndarray]:
         elif cid == b"data":
             data = body
         pos += 8 + sz + (sz & 1)
-    assert ch and data is not None, "missing fmt/data chunk"
+    if not ch or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
     samples = np.frombuffer(data, "<i2").reshape(-1, ch).T  # (ch, n)
     n = samples.shape[1]
     # "intensity" image: |amplitude| scaled to [0, 255], one row per channel
@@ -200,7 +202,8 @@ def _decode_wav(b: bytes) -> tuple[str, int, int, int, np.ndarray]:
 def _decode_y4m(b: bytes) -> tuple[str, int, int, int, np.ndarray]:
     nl = b.index(b"\n")
     params = b[:nl].decode().split()
-    assert params[0] == "YUV4MPEG2"
+    if params[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
     w = h = None
     for p in params[1:]:
         if p.startswith("W"):
@@ -209,13 +212,17 @@ def _decode_y4m(b: bytes) -> tuple[str, int, int, int, np.ndarray]:
             h = int(p[1:])
         elif p.startswith("C") and p[1:] not in ("420", "420jpeg", "420mpeg2"):
             raise NotImplementedError(f"y4m chroma {p}: only C420 supported")
-    assert w and h
+    if not w or not h:
+        raise ValueError("malformed y4m header: missing W/H")
     frame_sz = w * h + 2 * (w // 2) * (h // 2)
     frames = []
     pos = nl + 1
     while pos < len(b):
         fnl = b.index(b"\n", pos)
-        assert b[pos : pos + 5] == b"FRAME"
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed y4m: expected FRAME marker")
+        if fnl + 1 + frame_sz > len(b):
+            raise ValueError("malformed y4m: truncated frame")
         y = np.frombuffer(b, np.uint8, w * h, fnl + 1).reshape(h, w)
         frames.append(y)
         pos = fnl + 1 + frame_sz
@@ -239,7 +246,8 @@ def _decode_payload(payload: bytes, allow_fake: bool) -> tuple[str, int, int, in
 
 
 def _decode_fake(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
-    assert payload[:4] == b"FAKE", "not a fake-media payload"
+    if payload[:4] != b"FAKE":
+        raise ValueError("not a fake-media payload")
     kind, w, h, fr = struct.unpack("<BHHH", payload[4:11])
     pixels = np.frombuffer(payload, dtype=np.uint8, offset=11).reshape(fr, h, w)
     return _KIND_NAMES[kind], w, h, fr, pixels
