@@ -77,3 +77,51 @@ def test_permutation_invariance(spark):
         PageRank().run(edges_from_numpy(spark, permuted), n).ranks, n
     )
     np.testing.assert_allclose(relab[perm], base, atol=1e-12)
+
+
+def test_reuse_pack_manifest_guards(spark, tmp_path):
+    import numpy as np
+    import pytest
+
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    n, m = 1000, 20000
+    edges = synthetic_edges(spark, n, m, seed=3, num_partitions=4)
+    scratch = str(tmp_path / "pack")
+    r1 = PageRank(
+        mode="csr", csr_storage="files", scratch_dir=scratch,
+        reuse_pack=True, num_blocks=4, max_iter=4, eps=0.0,
+    ).run(edges, n)
+    # reuse with matching params: identical ranks, no re-pack
+    r2 = PageRank(
+        mode="csr", csr_storage="files", scratch_dir=scratch,
+        reuse_pack=True, num_blocks=4, max_iter=4, eps=0.0,
+    ).run(edges, n)
+    p1 = np.array(r1.ranks.orderBy("id").select("rank").toPandas()["rank"])
+    p2 = np.array(r2.ranks.orderBy("id").select("rank").toPandas()["rank"])
+    assert np.allclose(p1, p2, atol=1e-12)
+    # wrong n -> hard error
+    with pytest.raises(ValueError, match="n=1000"):
+        PageRank(
+            mode="csr", csr_storage="files", scratch_dir=scratch,
+            reuse_pack=True, max_iter=1,
+        ).run(synthetic_edges(spark, 999, m, seed=3, num_partitions=4), 999)
+    # wrong nblocks -> hard error
+    with pytest.raises(ValueError, match="nblocks"):
+        PageRank(
+            mode="csr", csr_storage="files", scratch_dir=scratch,
+            reuse_pack=True, num_blocks=8, max_iter=1,
+        ).run(edges, n)
+    # stale format version -> silent re-pack (not wrong answers)
+    import json, os
+    man_file = os.path.join(scratch, "manifest.json")
+    man = json.load(open(man_file))
+    man["version"] = -1
+    json.dump(man, open(man_file, "w"))
+    r3 = PageRank(
+        mode="csr", csr_storage="files", scratch_dir=scratch,
+        reuse_pack=True, num_blocks=4, max_iter=4, eps=0.0,
+    ).run(edges, n)
+    p3 = np.array(r3.ranks.orderBy("id").select("rank").toPandas()["rank"])
+    assert np.allclose(p1, p3, atol=1e-12)
+    assert json.load(open(man_file))["version"] > 0  # re-packed manifest
