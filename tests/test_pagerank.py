@@ -125,3 +125,26 @@ def test_reuse_pack_manifest_guards(spark, tmp_path):
     p3 = np.array(r3.ranks.orderBy("id").select("rank").toPandas()["rank"])
     assert np.allclose(p1, p3, atol=1e-12)
     assert json.load(open(man_file))["version"] > 0  # re-packed manifest
+
+
+def test_csr_files_multichunk_rle_boundaries(spark):
+    """Force each block file to span several 64k-edge sub-chunks so the RLE
+    run-splitting math at chunk boundaries is exercised, and compare against
+    the NumPy oracle."""
+    import numpy as np
+
+    from pagerank_spark.oracle import pagerank_numpy
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    n, m = 2000, 600_000
+    edges = synthetic_edges(spark, n, m, seed=11, num_partitions=2)
+    pdf = edges.toPandas()
+    e_np = np.stack([pdf["src"].to_numpy(), pdf["dst"].to_numpy()], axis=1)
+    want, want_iters, _ = pagerank_numpy(e_np, n)
+
+    res = PageRank(mode="csr", csr_storage="files", num_blocks=2).run(edges, n)
+    got = (
+        res.ranks.orderBy("id").toPandas()["rank"].to_numpy()
+    )
+    assert res.iterations == want_iters
+    assert np.abs(got - want).max() < 1e-9
