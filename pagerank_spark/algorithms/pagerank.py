@@ -198,6 +198,13 @@ class PageRank:
         as the JVM-only execution path)."""
         return "csr" if n <= cls.AUTO_CSR_MAX_VERTICES else "dataframe"
 
+    # vertex count above which the O(n) sides of the setup/iteration joins
+    # (degrees, src_ids, contribs) must not be broadcast: their COMPRESSED
+    # shuffle size can pass autoBroadcastJoinThreshold while the in-memory
+    # hash relation blows the driver (reproduced at n=2e7 on 8g driver) —
+    # force shuffle-hash joins instead. 2M rows ~ 32MB hash relation.
+    BROADCASTABLE_N = 2_000_000
+
     # ------------------------------------------------------- dataframe path
     def _run_dataframe(
         self, edges: DataFrame, n: int, run_id: str, resume: bool
@@ -206,11 +213,14 @@ class PageRank:
         c, eps = self.c, self.eps
         shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+        def no_bcast(df: DataFrame) -> DataFrame:
+            return df if n <= self.BROADCASTABLE_N else df.hint("shuffle_hash")
+
         # outdegree + edge weights, built once. Partition edges by src so the
         # per-iteration join only shuffles the (small) rank side.
         degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         ew = (
-            edges.join(degrees, "src")
+            edges.join(no_bcast(degrees), "src")
             .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
             .repartition(shuffle_p, "src")
             .persist()
@@ -223,7 +233,7 @@ class PageRank:
         state = (
             spark.range(0, n, 1, shuffle_p)
             .select(F.col("id").cast("long"))
-            .join(src_ids.withColumn("nd", F.lit(True)), "id", "left")
+            .join(no_bcast(src_ids.withColumn("nd", F.lit(True))), "id", "left")
             .select(
                 "id",
                 F.lit(1.0 / n).alias("rank"),
@@ -264,7 +274,7 @@ class PageRank:
                     F.sum(F.col("rank") * F.col("w")).alias("contrib")
                 )
             new_state = (
-                state.join(contribs, state.id == contribs.dst, "left")
+                state.join(no_bcast(contribs), state.id == contribs.dst, "left")
                 .select(
                     state.id,
                     (
@@ -313,8 +323,11 @@ class PageRank:
         p = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
         degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        deg_j = (
+            degrees if n <= self.BROADCASTABLE_N else degrees.hint("shuffle_hash")
+        )  # see BROADCASTABLE_N: O(n) side must not be broadcast at large n
         ew = (
-            edges.join(degrees, "src")
+            edges.join(deg_j, "src")
             .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
             .repartition(p, "dst")
             .persist()

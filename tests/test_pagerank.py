@@ -148,3 +148,22 @@ def test_csr_files_multichunk_rle_boundaries(spark):
     )
     assert res.iterations == want_iters
     assert np.abs(got - want).max() < 1e-9
+
+
+def test_dataframe_mode_no_broadcast_of_on_sides(spark):
+    """Above BROADCASTABLE_N the O(n) join sides must not plan as broadcast
+    joins (reproduced driver OOM at n=2e7 without the shuffle_hash hints).
+    Checked via the physical plan of the weighted-edge build."""
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    n = PageRank.BROADCASTABLE_N + 1
+    edges = synthetic_edges(spark, n, 1000, seed=1, num_partitions=2)
+    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    hinted = degrees.hint("shuffle_hash")
+    plan = (
+        edges.join(hinted, "src")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in plan
