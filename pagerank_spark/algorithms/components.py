@@ -37,8 +37,11 @@ def _large_star(e: DataFrame) -> DataFrame:
     und = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = und.groupBy("u").agg(F.min("v").alias("mn"))
     m = m.select("u", F.least("u", "mn").alias("m"))
+    # m is O(V) by construction — never allow Catalyst to broadcast it
+    # (compressed-size estimates pass the threshold while the in-memory
+    # relation OOMs the driver at scale; see PLANS.md round-2 note)
     return _dedup(
-        und.join(m, "u")
+        und.join(m.hint("shuffle_hash"), "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
@@ -51,7 +54,7 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
     hi_lo = hi_lo.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
     m = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
-    out = hi_lo.join(m, "u").filter(F.col("v") != F.col("m")).select(
+    out = hi_lo.join(m.hint("shuffle_hash"), "u").filter(F.col("v") != F.col("m")).select(
         F.col("v").alias("u"), F.col("m").alias("v")
     )
     self_link = m.select("u", F.col("m").alias("v"))

@@ -40,7 +40,7 @@ def label_propagation(
     prev_sum = set_checksum(labels, "id", "label") if check_convergence else None
     for _ in range(max_iter):
         nbr = (
-            und.join(labels, und.b == labels.id)
+            und.join(labels.hint("shuffle_hash"), und.b == labels.id)
             .groupBy(F.col("a").alias("id"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -48,7 +48,7 @@ def label_propagation(
             F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
         )
         new_labels = (
-            labels.join(best, "id", "left")
+            labels.join(best.hint("shuffle_hash"), "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
             .localCheckpoint(eager=True)
         )

@@ -28,7 +28,8 @@ def _oriented(edges: DataFrame) -> DataFrame:
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "id")
     d1 = deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "deg_a")
     d2 = deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "deg_b")
-    ranked = und.join(d1, "a").join(d2, "b")
+    # deg is O(V): forbid auto-broadcast (driver-OOM class, PLANS.md)
+    ranked = und.join(d1.hint("shuffle_hash"), "a").join(d2.hint("shuffle_hash"), "b")
     # canonical undirected pair once: keep a<b, then orient by (deg, id)
     canon = ranked.filter(F.col("a") < F.col("b"))
     return canon.select(

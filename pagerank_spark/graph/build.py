@@ -48,7 +48,10 @@ def build_link_graph(
     n = ids.count()
     if broadcast_dict is None:
         broadcast_dict = n <= 5_000_000
-    dict_df = F.broadcast(ids) if broadcast_dict else ids
+    # beyond the explicit broadcast bound the dictionary is O(V): hint
+    # shuffle_hash so Catalyst cannot auto-broadcast it off a misleading
+    # compressed-size estimate (driver-OOM class, PLANS.md)
+    dict_df = F.broadcast(ids) if broadcast_dict else ids.hint("shuffle_hash")
 
     raw = extract_outlinks(pages)
     edges = (
