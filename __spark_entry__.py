@@ -268,9 +268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pagerank_spark.pipeline.similarity import ivf_topk
 
         emb = _emb(spark, sf)
-        dim = len(emb.first()["embedding"])
         q = emb.filter(F.col("vec_id") < N_QUERIES)
-        return ivf_topk(emb, q, dim=dim, k=K_NN, n_lists=16, n_probe=6).select(
+        return ivf_topk(emb, q, k=K_NN, n_lists=16, n_probe=6).select(
             "query_id", "neighbor_id", "rank"
         )
 

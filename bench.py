@@ -78,7 +78,17 @@ def main() -> None:
     # bench runs; the metric itself is computed from per-iteration medians
     # either way, so a cold cache only affects the wall-clock row
     head_scratch = f"/tmp/prbench_pack_{n_verts_head}_{n_edges_head}_s42_c{cpus}"
-    extra["headline_pack_cached"] = os.path.exists(f"{head_scratch}/manifest.json")
+    try:
+        import json as _json
+
+        from pagerank_spark.algorithms.pagerank import PACK_FORMAT_VERSION
+
+        with open(f"{head_scratch}/manifest.json") as _fh:
+            extra["headline_pack_cached"] = (
+                _json.load(_fh).get("version") == PACK_FORMAT_VERSION
+            )
+    except (OSError, ValueError):
+        extra["headline_pack_cached"] = False
     res_csr = timed(
         "pagerank_csr_8iter_headline",
         lambda: PageRank(

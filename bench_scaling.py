@@ -202,15 +202,15 @@ def main() -> None:
         "pairs": pair_rows,
         "cells_local32": cells_run,
         "hardware_ceiling": ceiling,
-        # 'efficiency'/'pass_instructed_pair' refer to the FIRST pair (the
-        # instructed local[8]->local[32] point); 'pass' is true when ANY
-        # measured N->4N pair meets the target — the documented-ceiling
-        # reading (see BENCH/BASELINE.md for why the saturated 8->32 point
-        # understates executor scaling on this shared-memory box)
+        # 'efficiency'/'pass' refer to the FIRST pair (the instructed
+        # local[8]->local[32] point — honest headline); 'pass_any_pair'
+        # reflects the documented-ceiling reading (see BENCH/BASELINE.md for
+        # why the saturated 8->32 point understates executor scaling on this
+        # shared-memory box)
         "efficiency": headline["efficiency"],
         "target": 0.8,
-        "pass_instructed_pair": headline["efficiency"] >= 0.8,
-        "pass": any(p["efficiency"] >= 0.8 for p in pair_rows),
+        "pass": headline["efficiency"] >= 0.8,
+        "pass_any_pair": any(p["efficiency"] >= 0.8 for p in pair_rows),
     }
 
     lines = [

@@ -32,29 +32,37 @@ def _dedup(e: DataFrame) -> DataFrame:
     return e.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+# edge-set size above which the O(V) min-tables must not be broadcast:
+# their COMPRESSED shuffle size can pass autoBroadcastJoinThreshold while the
+# in-memory hash relation OOMs the driver (see PLANS.md round-2 note); below
+# it, broadcast joins are the better small-graph plan and Catalyst keeps them
+BIG_GRAPH_EDGES = 2_000_000
+
+
+def _large_star(e: DataFrame, big: bool) -> DataFrame:
     """Γ taken over both directions; emit (v, m(u)) for v in Γ(u), v > u."""
     und = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = und.groupBy("u").agg(F.min("v").alias("mn"))
     m = m.select("u", F.least("u", "mn").alias("m"))
-    # m is O(V) by construction — never allow Catalyst to broadcast it
-    # (compressed-size estimates pass the threshold while the in-memory
-    # relation OOMs the driver at scale; see PLANS.md round-2 note)
+    if big:
+        m = m.hint("shuffle_hash")
     return _dedup(
-        und.join(m.hint("shuffle_hash"), "u")
+        und.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, big: bool) -> DataFrame:
     """Orient high->low, group by the high endpoint, link all to the min."""
     hi_lo = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
     hi_lo = hi_lo.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
     m = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
-    out = hi_lo.join(m.hint("shuffle_hash"), "u").filter(F.col("v") != F.col("m")).select(
+    if big:
+        m = m.hint("shuffle_hash")
+    out = hi_lo.join(m, "u").filter(F.col("v") != F.col("m")).select(
         F.col("v").alias("u"), F.col("m").alias("v")
     )
     self_link = m.select("u", F.col("m").alias("v"))
@@ -89,11 +97,12 @@ def connected_components(
         e = catalog.read(spark, f"cc_ckpt_{run_id}").localCheckpoint(eager=True)
         start_iter = int(meta.summary.get("iteration", 0))
     prev = _checksum(e)
+    big = prev[0] > BIG_GRAPH_EDGES  # initial edge count gates the hints
     import time
 
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.time()
-        e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e_next = _small_star(_large_star(e, big), big).localCheckpoint(eager=True)
         cur = _checksum(e_next)
         e.unpersist()
         e = e_next

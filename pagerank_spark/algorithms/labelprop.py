@@ -37,10 +37,17 @@ def label_propagation(
 
     from pagerank_spark.util import set_checksum
 
+    # O(V) label/best tables must not be auto-broadcast on big graphs (the
+    # driver-OOM class in PLANS.md); small graphs keep the broadcast plans
+    big = labels.count() > 2_000_000
+
+    def _hs(df: DataFrame) -> DataFrame:
+        return df.hint("shuffle_hash") if big else df
+
     prev_sum = set_checksum(labels, "id", "label") if check_convergence else None
     for _ in range(max_iter):
         nbr = (
-            und.join(labels.hint("shuffle_hash"), und.b == labels.id)
+            und.join(_hs(labels), und.b == labels.id)
             .groupBy(F.col("a").alias("id"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -48,7 +55,7 @@ def label_propagation(
             F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
         )
         new_labels = (
-            labels.join(best.hint("shuffle_hash"), "id", "left")
+            labels.join(_hs(best), "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
             .localCheckpoint(eager=True)
         )

@@ -439,7 +439,18 @@ class PageRank:
                 with open(man_path) as fh:
                     manifest = _json.load(fh)
                 if manifest.get("version") != PACK_FORMAT_VERSION:
-                    manifest = None  # stale layout: fall through to re-pack
+                    # stale layout: remove the old pack's artifacts before
+                    # falling through to re-pack, so a persistent scratch dir
+                    # (e.g. the bench cache) doesn't accumulate orphaned GBs
+                    import glob as _glob
+
+                    for pth in _glob.glob(_os.path.join(scratch, "b*.bin")):
+                        _os.remove(pth)
+                    for name in ("hub_ids.npy", "outdeg.npy", "manifest.json"):
+                        p_ = _os.path.join(scratch, name)
+                        if _os.path.exists(p_):
+                            _os.remove(p_)
+                    manifest = None
                 elif int(manifest["n"]) != n:
                     raise ValueError(
                         f"packed manifest at {scratch} is for n={manifest['n']}, "

@@ -28,8 +28,7 @@ def dangling_nodes(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     at most |V| rows, not |E|.
     """
     srcs = edges.select(F.col("src").alias("id")).distinct()
-    # srcs is O(V): shuffle-hash anti-join, never a broadcast build
-    return vertices.join(srcs.hint("shuffle_hash"), "id", "left_anti")
+    return vertices.join(srcs, "id", "left_anti")
 
 
 def degree_histogram(edges: DataFrame) -> DataFrame:

@@ -153,7 +153,8 @@ def lsh_topk(
     )
     scored = (
         cand.join(F.broadcast(q), "query_id")
-        .join(e, "neighbor_id")
+        # e is O(corpus): never auto-broadcast it (driver-OOM class; PLANS.md)
+        .join(e.hint("shuffle_hash"), "neighbor_id")
         .select("query_id", "neighbor_id", _cosine("qvec", "nvec").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -187,7 +188,7 @@ def _kmeans_centroids(
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 10,
     n_lists: int = 16,
     n_probe: int = 4,
@@ -215,6 +216,12 @@ def ivf_topk(
     sample = np.array(
         [list(r[1]) for r in sample_df.collect()], dtype=np.float64
     )
+    if sample.size == 0:  # empty corpus -> empty result, like the siblings
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    if dim is not None and sample.shape[1] != dim:
+        raise ValueError(f"dim={dim} but embeddings have {sample.shape[1]} dims")
     cent = _kmeans_centroids(sample, n_lists, seed)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -259,7 +266,8 @@ def ivf_topk(
     )
     scored = (
         cand.join(F.broadcast(q), "query_id")
-        .join(e, "neighbor_id")
+        # e is O(corpus): never auto-broadcast it (driver-OOM class; PLANS.md)
+        .join(e.hint("shuffle_hash"), "neighbor_id")
         .select("query_id", "neighbor_id", _cosine("qvec", "nvec").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

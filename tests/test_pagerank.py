@@ -150,20 +150,35 @@ def test_csr_files_multichunk_rle_boundaries(spark):
     assert np.abs(got - want).max() < 1e-9
 
 
-def test_dataframe_mode_no_broadcast_of_on_sides(spark):
-    """Above BROADCASTABLE_N the O(n) join sides must not plan as broadcast
-    joins (reproduced driver OOM at n=2e7 without the shuffle_hash hints).
-    Checked via the physical plan of the weighted-edge build."""
-    from pyspark.sql import functions as F
+def test_dataframe_mode_hints_on_large_n(spark, monkeypatch):
+    """Above BROADCASTABLE_N the O(n) join sides (degrees, src_ids, contribs)
+    must be shuffle_hash-hinted inside _run_dataframe itself (reproduced
+    driver OOM at n=2e7 without them). Spied on the real code path by
+    lowering the threshold and recording DataFrame.hint calls."""
+    # Spark 4: runtime DataFrames are the classic subclass, which
+    # overrides hint() — patch there, not on the abstract base
+    from pyspark.sql.classic.dataframe import DataFrame as SparkDF
 
     from pagerank_spark.sources.synthetic import synthetic_edges
 
-    n = PageRank.BROADCASTABLE_N + 1
-    edges = synthetic_edges(spark, n, 1000, seed=1, num_partitions=2)
-    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    hinted = degrees.hint("shuffle_hash")
-    plan = (
-        edges.join(hinted, "src")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "BroadcastHashJoin" not in plan
+    calls = []
+    orig_hint = SparkDF.hint
+
+    def spy(self, name, *params):
+        calls.append(name)
+        return orig_hint(self, name, *params)
+
+    monkeypatch.setattr(SparkDF, "hint", spy)
+    monkeypatch.setattr(PageRank, "BROADCASTABLE_N", 10)
+    n = 200
+    edges = synthetic_edges(spark, n, 2000, seed=1, num_partitions=2)
+    PageRank(mode="dataframe", max_iter=2, eps=0.0).run(edges, n)
+    # setup: degrees + src_ids; per iteration: contribs -> >= 4 hints total
+    assert calls.count("shuffle_hash") >= 4
+
+    # below the threshold the hints must NOT fire (small-graph plans keep
+    # their broadcast joins)
+    calls.clear()
+    monkeypatch.setattr(PageRank, "BROADCASTABLE_N", 10_000)
+    PageRank(mode="dataframe", max_iter=1, eps=0.0).run(edges, n)
+    assert calls.count("shuffle_hash") == 0

@@ -205,15 +205,14 @@ def test_ngram_df_cap_bounds_candidates(spark):
 def test_ivf_topk_recall(spark, emb):
     from pagerank_spark.pipeline.similarity import ivf_topk
 
-    dim = len(emb.first()["embedding"])
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5).collect()
-    approx = ivf_topk(emb, queries, dim=dim, k=5, n_lists=16, n_probe=6).collect()
+    approx = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5
     # deterministic across invocations
     again = {(r["query_id"], r["neighbor_id"]) for r in
-             ivf_topk(emb, queries, dim=dim, k=5, n_lists=16, n_probe=6).collect()}
+             ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6).collect()}
     assert again == approx_set
