@@ -32,11 +32,11 @@ def _dedup(e: DataFrame) -> DataFrame:
     return e.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
 
 
-# edge-set size above which the O(V) min-tables must not be broadcast:
-# their COMPRESSED shuffle size can pass autoBroadcastJoinThreshold while the
-# in-memory hash relation OOMs the driver (see PLANS.md round-2 note); below
-# it, broadcast joins are the better small-graph plan and Catalyst keeps them
-BIG_GRAPH_EDGES = 2_000_000
+# The hint gate keys on the broadcast-side (vertex/min-table) row count, not
+# total edges: the OOM hazard is the O(V) min-table's in-memory hash relation
+# (see util.BROADCAST_SAFE_ROWS). Gating on edges was too blunt — a 4M-edge /
+# 400k-vertex graph paid shuffle joins its vertex tables never needed
+# (round-2 bench regression).
 
 
 def _large_star(e: DataFrame, big: bool) -> DataFrame:
@@ -97,7 +97,9 @@ def connected_components(
         e = catalog.read(spark, f"cc_ckpt_{run_id}").localCheckpoint(eager=True)
         start_iter = int(meta.summary.get("iteration", 0))
     prev = _checksum(e)
-    big = prev[0] > BIG_GRAPH_EDGES  # initial edge count gates the hints
+    from pagerank_spark import util
+
+    big = util.approx_vertex_count(e, "u", "v") > util.BROADCAST_SAFE_ROWS
     import time
 
     for it in range(start_iter + 1, max_iter + 1):

@@ -9,6 +9,11 @@ changes, whichever comes first.
 One round = join(edges, labels) -> groupBy(dst, label).count ->
 max_by(label, (count, -label)) — all hash aggregates; the (count, -label)
 struct ordering implements the min-label tie-break without a window.
+
+Convergence detection uses an order-insensitive set checksum
+(count, bit_xor(xxhash64)) — one cheap scan per round instead of a join.
+It is probabilistic: a bit_xor collision (~2^-64 per round) would stop one
+round early. The fixed-round mode (check_convergence=False) is exact.
 """
 
 from __future__ import annotations
@@ -35,16 +40,19 @@ def label_propagation(
         eager=True
     )
 
+    from pagerank_spark import util
     from pagerank_spark.util import set_checksum
 
     # O(V) label/best tables must not be auto-broadcast on big graphs (the
-    # driver-OOM class in PLANS.md); small graphs keep the broadcast plans
-    big = labels.count() > 2_000_000
+    # driver-OOM class in PLANS.md); small graphs keep the broadcast plans.
+    # The vertex count comes free from the convergence checksum when that is
+    # on (one fewer action per call).
+    prev_sum = set_checksum(labels, "id", "label") if check_convergence else None
+    n_vertices = prev_sum[0] if check_convergence else labels.count()
+    big = n_vertices > util.BROADCAST_SAFE_ROWS
 
     def _hs(df: DataFrame) -> DataFrame:
         return df.hint("shuffle_hash") if big else df
-
-    prev_sum = set_checksum(labels, "id", "label") if check_convergence else None
     for _ in range(max_iter):
         nbr = (
             und.join(_hs(labels), und.b == labels.id)

@@ -66,6 +66,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pagerank_spark import util as _util
 from pagerank_spark.lineage import LineageWriter
 
 
@@ -203,7 +204,9 @@ class PageRank:
     # shuffle size can pass autoBroadcastJoinThreshold while the in-memory
     # hash relation blows the driver (reproduced at n=2e7 on 8g driver) —
     # force shuffle-hash joins instead. 2M rows ~ 32MB hash relation.
-    BROADCASTABLE_N = 2_000_000
+    # Shared gate with CC/LP/triangles (util.BROADCAST_SAFE_ROWS); kept as a
+    # class attribute so tests can monkeypatch it.
+    BROADCASTABLE_N = _util.BROADCAST_SAFE_ROWS
 
     # ------------------------------------------------------- dataframe path
     def _run_dataframe(

@@ -18,7 +18,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
+def _oriented(edges: DataFrame, big: bool | None = None) -> DataFrame:
+    from pagerank_spark import util
+
+    if big is None:
+        # deg is O(V): above the safe-broadcast row count its hash relation
+        # OOMs the driver if auto-broadcast (PLANS.md); below it, the
+        # broadcast join is the better small-graph plan — size-gate the hint
+        # on the broadcast-side (vertex) count like CC/LP/PageRank
+        big = util.approx_vertex_count(edges) > util.BROADCAST_SAFE_ROWS
     und = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -28,8 +36,9 @@ def _oriented(edges: DataFrame) -> DataFrame:
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "id")
     d1 = deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "deg_a")
     d2 = deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "deg_b")
-    # deg is O(V): forbid auto-broadcast (driver-OOM class, PLANS.md)
-    ranked = und.join(d1.hint("shuffle_hash"), "a").join(d2.hint("shuffle_hash"), "b")
+    if big:
+        d1, d2 = d1.hint("shuffle_hash"), d2.hint("shuffle_hash")
+    ranked = und.join(d1, "a").join(d2, "b")
     # canonical undirected pair once: keep a<b, then orient by (deg, id)
     canon = ranked.filter(F.col("a") < F.col("b"))
     return canon.select(

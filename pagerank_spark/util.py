@@ -5,6 +5,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Row count above which an O(V)-sized join side must never be auto-broadcast:
+# its COMPRESSED shuffle size can slip under autoBroadcastJoinThreshold while
+# the in-memory hash relation OOMs the driver (reproduced at n=2e7, PLANS.md).
+# Below it, Catalyst's broadcast plans win on small graphs, so the
+# shuffle_hash hints are size-gated on this shared constant (PageRank
+# dataframe mode, connected components, label propagation, triangles).
+BROADCAST_SAFE_ROWS = 2_000_000
+
+
+def approx_vertex_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> int:
+    """HLL estimate (±~2%) of the number of distinct endpoints in an edge
+    DataFrame — one scan with map-side partials and a 1-row shuffle, cheap
+    even at 100 TB. Used to size-gate broadcast-vs-shuffle join hints on the
+    O(V) side (the hazard is the vertex-table side, not total edges)."""
+    row = (
+        edges.select(F.col(src).alias("x"))
+        .union(edges.select(F.col(dst).alias("x")))
+        .agg(F.approx_count_distinct("x").alias("n"))
+        .first()
+    )
+    return int(row["n"])
+
 
 def set_checksum(df: DataFrame, *cols: str) -> tuple[int, int]:
     """Order-insensitive fingerprint of a DataFrame treated as a SET of rows:

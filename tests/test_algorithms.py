@@ -76,3 +76,52 @@ def test_triangles_exact(spark, name):
 def test_triangles_complete6(spark):
     arr, n = micro_graphs()["complete_6"]
     assert triangle_count(edges_from_numpy(spark, arr)) == 20  # C(6,3)
+
+
+def _spy_hints(monkeypatch):
+    """Record DataFrame.hint calls on the real code path (Spark 4 classic
+    subclass overrides hint(), so patch there)."""
+    from pyspark.sql.classic.dataframe import DataFrame as SparkDF
+
+    calls = []
+    orig = SparkDF.hint
+
+    def spy(self, name, *params):
+        calls.append(name)
+        return orig(self, name, *params)
+
+    monkeypatch.setattr(SparkDF, "hint", spy)
+    return calls
+
+
+@pytest.mark.parametrize(
+    "algo",
+    ["cc", "lp", "tri"],
+)
+def test_vertex_gated_shuffle_hints(spark, monkeypatch, algo):
+    """CC/LP/triangles gate their shuffle_hash hints on the broadcast-side
+    (vertex) count via util.BROADCAST_SAFE_ROWS: hints fire above the gate,
+    never below it (small graphs keep Catalyst's broadcast plans)."""
+    from pagerank_spark import util
+
+    arr, n = micro_graphs()["two_islands"]
+    edges = edges_from_numpy(spark, arr)
+    verts = vertices_df(spark, n)
+
+    def run():
+        if algo == "cc":
+            connected_components(edges, verts).collect()
+        elif algo == "lp":
+            label_propagation(edges, verts, max_iter=2).collect()
+        else:
+            triangle_count(edges)
+
+    calls = _spy_hints(monkeypatch)
+    monkeypatch.setattr(util, "BROADCAST_SAFE_ROWS", 2)  # n=6 > 2 -> big
+    run()
+    assert calls.count("shuffle_hash") >= 1
+
+    calls.clear()
+    monkeypatch.setattr(util, "BROADCAST_SAFE_ROWS", 2_000_000)
+    run()
+    assert calls.count("shuffle_hash") == 0
