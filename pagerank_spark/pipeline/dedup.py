@@ -19,10 +19,20 @@ Five strategies, all returning DataFrames keyed by doc_id so they compose:
                           the similarity module's LSH bucketing or
                           brute-force for small n.
 
-Signature hashing uses zlib.crc32 (deterministic across processes, C speed)
-expanded to 64-bit via two salts; permutations are the standard
-(a*h + b) mod p family with a fixed seed, vectorized over (n_perm, n_shingle)
-NumPy arrays — no per-row Python in the hot path beyond the Arrow batch loop.
+Signature hashing: defaults follow measurement, not intuition. Both a full
+JVM path (shingles/tokens via split/transform built-ins, hashes via md5/
+xxhash64 in codegen; SimHash as 64 per-bit SQL aggregates) and Arrow-batch
+NumPy UDF paths exist and are tested bit-identical; at 100k docs on
+local[32] the UDF paths WIN (SimHash 4.7s vs 13.4s SQL; MinHash crc 2.8s
+vs 5.2s JVM-md5) because the "Python" hashing is C-backed (zlib.crc32 /
+hashlib.md5) while the SQL route pays explode+shuffle+wide-aggregate or
+JVM hex-string materialization. The UDFs additionally memoize per-batch:
+each distinct token/shingle is hashed once (natural token streams are
+Zipf — repeats dominate), with a bounded vocabulary cache. The JVM paths
+remain available (simhash method="sql", minhash hash_fn="md5"/"xxhash")
+for clusters where Python workers are the constraint, and double as
+independent cross-checks of the UDF implementations.
+Permutations are the standard (a*h + b) mod p family with a fixed seed.
 """
 
 from __future__ import annotations
@@ -207,6 +217,58 @@ def _perm_params(n_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _jvm_shingle_hashes(
+    docs: DataFrame,
+    shingle_n: int,
+    id_col: str,
+    text_col: str,
+    hash_fn: str,
+) -> DataFrame:
+    """-> (id, h: array<long>) distinct shingle hashes in [0, 2^61), computed
+    entirely JVM-side (tokenize/shingle with split/transform built-ins, hash
+    with md5 or xxhash64) — no per-shingle Python in the signature hot path.
+
+    hash_fn="md5": first 8 bytes of md5 big-endian (hi/lo conv halves ORed
+    into the exact 64-bit pattern) & (2^61-1) — bit-identical to the Python
+    _md5_64 path, so the DuckDB oracle keeps matching. hash_fn="xxhash":
+    built-in xxhash64 & (2^61-1) — the fastest production hash."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"),
+            lambda x: x != "",
+        ).alias("toks"),
+    )
+    sh = toks.select(
+        "id",
+        F.array_distinct(
+            F.when(F.size("toks") == 0, F.array().cast("array<string>"))
+            .when(
+                F.size("toks") >= shingle_n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - shingle_n),
+                    lambda i: F.array_join(F.slice("toks", i + 1, shingle_n), " "),
+                ),
+            )
+            .otherwise(F.array(F.array_join("toks", " ")))
+        ).alias("sh"),
+    )
+    if hash_fn == "md5":
+
+        def h_expr(s):
+            hx = F.md5(s)
+            hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo).bitwiseAND(F.lit(_MERSENNE))
+
+    else:  # xxhash
+
+        def h_expr(s):
+            return F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE))
+
+    return sh.select("id", F.transform("sh", h_expr).alias("h"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_perm: int = 128,
@@ -218,37 +280,77 @@ def minhash_signatures(
 ) -> DataFrame:
     """-> (doc_id, sig: array<long>) MinHash signature per doc.
 
-    hash_fn: "crc" (default, fastest) or "md5" (md5[:8] big-endian — exactly
-    reproducible in DuckDB SQL, used by the oracle-checked driver entry).
-    """
+    hash_fn selects the shingle hash (all memoize distinct shingles per
+    task; measured at 100k docs / local[32]):
+      "crc"        zlib.crc32 x2 in the Arrow UDF — fastest (2.8s), default
+      "md5"        hashlib md5[:8] big-endian in the UDF — exactly
+                   reproducible in DuckDB SQL; the oracle-checked driver
+                   entry uses this (5.1s)
+      "jvm-md5"    same bits computed JVM-side (5.2s — hex-string conv cost
+                   eats the win); for Python-worker-free clusters
+      "jvm-xxhash" JVM xxhash64 & (2^61-1) (3.7s)"""
     a, b = _perm_params(n_perm, seed)
-    shash = _md5_64 if hash_fn == "md5" else _hash64
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def sig_from_hashes(h: np.ndarray) -> np.ndarray:
+        if h.size == 0:
+            return np.full(n_perm, _MERSENNE, dtype=np.int64)
+        # (n_perm, n_shingles) permuted hashes, min over shingles; exact
+        # mulmod keeps the (a*h+b) mod p family universal
+        ph = _mulmod61(
+            a.astype(np.uint64)[:, None],
+            np.broadcast_to(h[None, :], (a.shape[0], h.shape[0])),
+        ) + b.astype(np.uint64)[:, None]
+        P = np.uint64(_MERSENNE)
+        ph = np.where(ph >= P, ph - P, ph)
+        return ph.min(axis=1).astype(np.int64)
+
+    if hash_fn in ("jvm-md5", "jvm-xxhash"):
+        # JVM-side shingle hashing ("jvm-md5" is bit-identical to "md5");
+        # loses to the UDF paths on measurement — kept for clusters without
+        # Python workers
+        hashed = _jvm_shingle_hashes(
+            docs, shingle_n, id_col, text_col, hash_fn.removeprefix("jvm-")
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for batch in batches:
+                ids, sigs = [], []
+                for did, harr in zip(batch["id"], batch["h"]):
+                    h = np.asarray(harr, dtype=np.uint64)
+                    ids.append(did)
+                    sigs.append(sig_from_hashes(h).tolist())
+                yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+        return hashed.mapInPandas(gen, "doc_id long, sig array<long>")
+
+    shash = _md5_64 if hash_fn == "md5" else _hash64
+    MASK = np.uint64((1 << 61) - 1)
+
+    def gen_py(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}  # shingle -> masked hash, memoized per task
+
+        def hval(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                if len(cache) > 2_000_000:  # bound executor memory
+                    cache.clear()
+                v = cache[s] = shash(s) & ((1 << 61) - 1)
+            return v
+
         for batch in batches:
             ids, sigs = [], []
             for did, text in zip(batch[id_col], batch[text_col]):
                 sset = shingles(text or "", shingle_n)
-                if not sset:
-                    sig = np.full(n_perm, _MERSENNE, dtype=np.int64)
-                else:
-                    h = np.fromiter(
-                        (shash(s) for s in sset), dtype=np.uint64, count=len(sset)
-                    ) & np.uint64((1 << 61) - 1)
-                    # (n_perm, n_shingles) permuted hashes, min over shingles;
-                    # exact mulmod keeps the (a*h+b) mod p family universal
-                    ph = _mulmod61(
-                        a.astype(np.uint64)[:, None],
-                        np.broadcast_to(h[None, :], (a.shape[0], h.shape[0])),
-                    ) + b.astype(np.uint64)[:, None]
-                    P = np.uint64(_MERSENNE)
-                    ph = np.where(ph >= P, ph - P, ph)
-                    sig = ph.min(axis=1).astype(np.int64)
+                h = np.fromiter(
+                    (hval(s) for s in sset), dtype=np.uint64, count=len(sset)
+                ) & MASK
                 ids.append(did)
-                sigs.append(sig.tolist())
+                sigs.append(sig_from_hashes(h).tolist())
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    return docs.select(id_col, text_col).mapInPandas(gen, "doc_id long, sig array<long>")
+    return docs.select(id_col, text_col).mapInPandas(
+        gen_py, "doc_id long, sig array<long>"
+    )
 
 
 def minhash_lsh_pairs(
@@ -327,36 +429,119 @@ def minhash_lsh_pairs(
 
 # -------------------------------------------------------------- simhash
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "udf",
 ) -> DataFrame:
     """-> (doc_id, simhash: long) 64-bit token-weighted SimHash.
 
     Token hash is md5[:8] (not crc) so a DuckDB oracle reproduces the
     signature bit-for-bit: ('0x' || substr(md5(t), 1, 16))::UBIGINT.
+
+    method="udf" (default — measured fastest): Arrow-batch NumPy with a
+    per-task token vocabulary — each distinct token is md5'd once and its
+    ±1 bit-sign row cached, so a doc costs one np.unique + one small
+    matmul (token streams are Zipf: repeats dominate).
+    method="sql": tokens explode JVM-side, md5 + per-bit weighted sums run
+    as 64 codegen'd hash aggregates — zero Python workers, but measured 3x
+    slower (13.4s vs 4.7s pre-memoization at 100k docs on local[32]: the
+    explode+shuffle+wide-aggregate costs more than C-backed hashlib).
+    Kept for Python-worker-free clusters and as an independent bit-exact
+    cross-check of the UDF.
     """
+    if method == "sql":
+        return _simhash_signatures_sql(docs, id_col, text_col)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bitw = 1 << np.arange(64, dtype=np.uint64)
+        uid: dict[str, int] = {}  # token -> row index in the sign matrix
+        hashes: list[int] = []  # uid -> md5_64(token)
+        usigns = np.empty((0, 64), dtype=np.int8)  # uid -> ±1 per bit
+
         for batch in batches:
-            ids, sigs = [], []
-            for did, text in zip(batch[id_col], batch[text_col]):
+            # pass 1: tokenize and extend the vocabulary
+            tok_uids = []
+            for text in batch[text_col]:
                 toks = tokenize(text or "")
-                if not toks:
+                for t in toks:
+                    if t not in uid:
+                        uid[t] = len(hashes)
+                        hashes.append(_md5_64(t))
+                tok_uids.append(
+                    np.fromiter(
+                        (uid[t] for t in toks), dtype=np.int64, count=len(toks)
+                    )
+                )
+            # extend the cached ±1 sign rows for new vocabulary only
+            if len(hashes) > usigns.shape[0]:
+                new = np.array(hashes[usigns.shape[0] :], dtype=np.uint64)
+                bits = ((new[:, None] & bitw[None, :]) != 0).astype(np.int8)
+                usigns = np.concatenate([usigns, bits * 2 - 1])
+            # pass 2: per doc, count distinct tokens and weight the signs
+            ids, sigs = [], []
+            for did, uids in zip(batch[id_col], tok_uids):
+                if uids.size == 0:
                     ids.append(did)
                     sigs.append(0)
                     continue
-                vals, counts = np.unique(
-                    np.fromiter((_md5_64(t) for t in toks), dtype=np.uint64, count=len(toks)),
-                    return_counts=True,
-                )
-                bits = ((vals[:, None] & bitw[None, :]) != 0).astype(np.int64)
-                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                vals, counts = np.unique(uids, return_counts=True)
+                acc = counts @ usigns[vals].astype(np.int64)
                 sig = int((bitw[acc > 0]).sum(dtype=np.uint64))
                 ids.append(did)
                 sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
             yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+            if len(hashes) > 2_000_000:  # bound executor memory
+                uid.clear()
+                hashes.clear()
+                usigns = np.empty((0, 64), dtype=np.int8)
 
     return docs.select(id_col, text_col).mapInPandas(gen, "doc_id long, simhash long")
+
+
+def _simhash_signatures_sql(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """JVM-side SimHash: explode tokens -> md5 -> 64 per-bit weighted-sum
+    aggregates -> sign pattern packed back into one signed long. Matches the
+    UDF path bit-for-bit (same md5[:8] big-endian token hash; the hi/lo conv
+    halves reassemble the exact 64-bit pattern)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"),
+                lambda x: x != "",
+            )
+        ).alias("t"),
+    )
+    tc = toks.groupBy("id", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    hx = F.md5("t")
+    hashed = tc.select(
+        "id",
+        "cnt",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = []
+    for b in range(64):
+        half = F.col("lo") if b < 32 else F.col("hi")
+        bit = F.shiftright(half, b % 32).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.col("cnt") * (bit * 2 - 1)).alias(f"a{b}"))
+    g = hashed.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        # bit 63 contributes the sign bit of the signed-long representation
+        w = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        sig = sig + F.when(F.col(f"a{b}") > 0, w).otherwise(F.lit(0).cast("long"))
+    sigs = g.select(F.col("id").alias("doc_id"), sig.alias("simhash"))
+    # docs with no tokens produce no rows above; keep them with signature 0
+    # (the UDF path's convention)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(sigs, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_pairs(
@@ -365,6 +550,7 @@ def simhash_pairs(
     n_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "udf",
 ) -> DataFrame:
     """-> (id_a, id_b, hamming) pairs within max_hamming bits.
 
@@ -372,7 +558,9 @@ def simhash_pairs(
     pair within max_hamming <= n_bands-1 bits must agree on >=1 band, so the
     candidate join is an equi-join on (band, band_value).
     """
-    sig = simhash_signatures(docs, id_col, text_col).localCheckpoint(eager=True)
+    sig = simhash_signatures(docs, id_col, text_col, method).localCheckpoint(
+        eager=True
+    )
     width = 64 // n_bands
     banded = sig.select(
         "doc_id",

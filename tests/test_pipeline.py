@@ -302,3 +302,29 @@ def test_lsh_candidate_count_subquadratic(spark):
         _clustered_corpus(spark, 100, 1000), 64, n_bits=16, n_bands=8
     ).count()
     assert o1 > 100 * c1, (o1, c1)
+
+
+def test_simhash_sql_equals_udf(spark, docs):
+    """The SQL path (64 per-bit JVM aggregates) and the memoized Arrow UDF
+    are independent implementations of the same md5-token SimHash; they must
+    agree bit-for-bit, including empty/whitespace/null texts."""
+    from pagerank_spark.pipeline.dedup import simhash_signatures
+
+    edge = spark.createDataFrame(
+        [(900001, ""), (900002, "   "), (900003, "one"), (900005, None)],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(edge)
+    s_sql = {r["doc_id"]: r["simhash"] for r in simhash_signatures(d, method="sql").collect()}
+    s_udf = {r["doc_id"]: r["simhash"] for r in simhash_signatures(d, method="udf").collect()}
+    assert s_sql == s_udf
+
+
+def test_minhash_md5_python_equals_jvm(spark, docs):
+    """hash_fn='md5' (memoized hashlib in the UDF) and 'jvm-md5' (conv over
+    md5 hex halves in codegen) must produce identical signatures."""
+    from pagerank_spark.pipeline.dedup import minhash_signatures
+
+    m_py = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(docs, hash_fn="md5").collect()}
+    m_jvm = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(docs, hash_fn="jvm-md5").collect()}
+    assert m_py == m_jvm
