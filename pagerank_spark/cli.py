@@ -28,12 +28,33 @@ def _spark(args):
     )
 
 
-def _catalog(args):
-    if args.warehouse:
-        from pagerank_spark.tables import Catalog
+def _catalog(args, default_durable: bool = False):
+    """Resolve the checkpoint/lineage catalog.
 
-        return Catalog(args.warehouse)
-    return None
+    Durable checkpoints are ON by default for iterative jobs
+    (default_durable=True): localCheckpoint alone does not survive executor
+    loss, so cluster runs need a durable warehouse to resume from. The
+    default location is `<output>_warehouse` (a sibling of --output, so
+    overwrite of the output dir cannot wipe it) or a fresh temp dir when no
+    --output is given; the resolved path is echoed in the result JSON.
+    Pass `--warehouse none` to opt out (fastest, but a killed run restarts
+    from iteration 0)."""
+    wh = args.warehouse
+    if wh == "none":
+        return None
+    if wh is None:
+        if not default_durable:
+            return None
+        out = getattr(args, "output", None)
+        if out:
+            wh = out.rstrip("/") + "_warehouse"
+        else:
+            import tempfile
+
+            wh = tempfile.mkdtemp(prefix="pagerank_spark_wh_")
+    from pagerank_spark.tables import Catalog
+
+    return Catalog(wh)
 
 
 def cmd_build_graph(args) -> int:
@@ -81,7 +102,7 @@ def cmd_pagerank(args) -> int:
     from pagerank_spark.lineage import LineageWriter
 
     edges, n = _load_edges(spark, args)
-    cat = _catalog(args)
+    cat = _catalog(args, default_durable=True)
     lineage = LineageWriter(spark, cat, per_partition=True) if cat else None
     pr = PageRank(
         c=args.c, eps=args.eps, max_iter=args.max_iter, mode=args.mode,
@@ -101,6 +122,7 @@ def cmd_pagerank(args) -> int:
                 "final_delta": res.deltas[-1] if res.deltas else None,
                 "edges_per_sec_per_iter": res.edges_per_sec_per_iter,
                 "run_id": res.run_id,
+                "warehouse": cat.warehouse if cat else None,
             }
         )
     )
@@ -113,7 +135,9 @@ def cmd_components(args) -> int:
     from pagerank_spark.sources.graphfile import vertices_df
 
     edges, n = _load_edges(spark, args)
-    comp = connected_components(edges, vertices_df(spark, n), catalog=_catalog(args))
+    comp = connected_components(
+        edges, vertices_df(spark, n), catalog=_catalog(args, default_durable=True)
+    )
     if args.output:
         comp.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"n_components": comp.select("component").distinct().count()}))
@@ -146,7 +170,12 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pagerank_spark")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
-    p.add_argument("--warehouse", default=None, help="catalog dir for checkpoints/lineage")
+    p.add_argument(
+        "--warehouse", default=None,
+        help="catalog dir for durable checkpoints/lineage. Iterative jobs "
+        "(pagerank, components) default to <output>_warehouse (or a temp "
+        "dir) so killed runs resume; pass 'none' to opt out",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("generate-pages")

@@ -114,7 +114,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None | str = "auto",
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs via inverted-index join.
 
@@ -132,7 +132,14 @@ def ngram_jaccard_pairs(
     approximation is that a pair sharing exclusively hot shingles is missed
     (such a pair is boilerplate-only overlap, below any useful threshold on
     real corpora; documented trade-off).
+
+    The default "auto" resolves to max(1000, n_docs // 100) — the capped
+    plan is the safe one at every scale, so it is the default; pass None to
+    explicitly opt into the uncapped O(f^2)-per-hot-shingle plan (tiny
+    corpora / oracle comparisons).
     """
+    if max_shingle_df == "auto":
+        max_shingle_df = max(1000, docs.count() // 100)
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.filter(

@@ -120,3 +120,35 @@ def test_spark_submit_py_files(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")]
     assert line and "iters=7" in line[0] and "rows=2319" in line[0], out.stdout[-500:]
+
+
+@pytest.mark.slow
+def test_cli_default_durable_resume(tmp_path):
+    """Durable checkpoints are ON by default: with no --warehouse flag the
+    run checkpoints to <output>_warehouse, and a second invocation with the
+    same --output resumes from iteration 3 instead of restarting."""
+    pages = str(tmp_path / "pages")
+    graph = str(tmp_path / "graph")
+    ranks = str(tmp_path / "ranks")
+    run_cli("generate-pages", "--n", "300", "--output", pages)
+    run_cli("build-graph", "--pages", pages, "--output", graph)
+    r1 = run_cli(
+        "pagerank", "--edges", f"{graph}/edges", "--max-iter", "3",
+        "--eps", "0.0", "--run-id", "durab", "--output", ranks,
+    )
+    assert r1["iterations"] == 3
+    assert r1["warehouse"] == ranks + "_warehouse"
+    assert os.path.isdir(r1["warehouse"])
+    r2 = run_cli(
+        "pagerank", "--edges", f"{graph}/edges",
+        "--run-id", "durab", "--resume", "--output", ranks,
+    )
+    assert r2["iterations"] > 3 and r2["final_delta"] < 1e-5
+    # explicit opt-out: no warehouse is created or used
+    r3 = run_cli(
+        "--warehouse", "none", "pagerank", "--edges", f"{graph}/edges",
+        "--max-iter", "2", "--eps", "0.0",
+        "--output", str(tmp_path / "ranks2"),
+    )
+    assert r3["warehouse"] is None
+    assert not os.path.exists(str(tmp_path / "ranks2") + "_warehouse")
