@@ -94,6 +94,9 @@ def main() -> None:
         lambda: PageRank(
             mode="csr", csr_storage="files", max_iter=8, eps=0.0,
             scratch_dir=head_scratch, reuse_pack=True,
+            # graph identity recorded in the manifest: reusing this scratch
+            # dir for a different graph is a hard error, not silent reuse
+            pack_key=f"zipf_s42_v{n_verts_head}_e{n_edges_head}",
         ).run(head_edges, n_verts_head),
     )
     secs = sorted(res_csr.iter_seconds[1:])

@@ -133,6 +133,7 @@ class PageRank:
         csr_storage: str = "cells",
         scratch_dir: str | None = None,
         reuse_pack: bool = False,
+        pack_key: str | None = None,
     ):
         self.c = c
         self.eps = eps
@@ -158,11 +159,16 @@ class PageRank:
         # and iterate over the existing packed files (pack once, run many —
         # what the scaling bench uses so lo- and hi-parallelism configs read
         # identical bytes). The manifest records format version, n and
-        # nblocks, which are validated; the edge CONTENT is the caller's
-        # responsibility — pointing a scratch dir packed from graph A at a
-        # different graph B with the same vertex count silently computes A's
-        # ranks, so key the scratch path on the graph identity.
+        # nblocks, which are validated; the edge CONTENT cannot be verified
+        # without scanning it (which reuse exists to avoid), so callers who
+        # can name their graph should pass pack_key (a seed/edge-count/
+        # checksum string): it is stored in the manifest and a
+        # present-but-different key on reuse is a hard error instead of
+        # silently computing the wrong graph's ranks. A manifest without a
+        # key (pre-key pack) triggers a one-time re-pack when a key is now
+        # supplied.
         self.reuse_pack = reuse_pack
+        self.pack_key = pack_key
 
     # ------------------------------------------------------------------ API
     def run(
@@ -467,10 +473,34 @@ class PageRank:
                         f"packed manifest at {scratch} has nblocks="
                         f"{manifest['nblocks']}, requested {self.num_blocks}"
                     )
-                # NOTE: the edge CONTENT cannot be cross-checked without
-                # scanning the source (which reuse exists to avoid) — the
-                # caller owns the scratch dir and must not point two
-                # different graphs of the same n at it (see reuse_pack doc)
+                elif (
+                    self.pack_key is not None
+                    and manifest.get("key") is not None
+                    and manifest["key"] != self.pack_key
+                ):
+                    # graph-identity mismatch: silently reusing would return
+                    # the OTHER graph's ranks — hard error (reuse_pack doc)
+                    raise ValueError(
+                        f"packed manifest at {scratch} was packed with "
+                        f"key={manifest['key']!r}, requested "
+                        f"{self.pack_key!r} — wrong graph for this scratch dir"
+                    )
+                elif self.pack_key is not None and manifest.get("key") is None:
+                    # pre-key pack: identity unverifiable — re-pack once so
+                    # the key is recorded from here on
+                    manifest = None
+                # NOTE: with no pack_key the edge CONTENT remains the
+                # caller's responsibility — it cannot be cross-checked
+                # without scanning the source (which reuse exists to avoid)
+            if manifest is None and self.scratch_dir is not None:
+                # about to (re-)pack into a persistent scratch dir: remove
+                # any block files from earlier packs first — they are about
+                # to be orphaned (new packs use fresh uuid names and rewrite
+                # the manifest), and repeated runs would otherwise leak GBs
+                import glob as _glob
+
+                for pth in _glob.glob(_os.path.join(scratch, "b*.bin")):
+                    _os.remove(pth)
 
         idx_t = np.int32 if n < 2**31 else np.int64
 
@@ -742,7 +772,7 @@ class PageRank:
                 _json.dump(
                     {"version": PACK_FORMAT_VERSION, "n": n, "m": m,
                      "nblocks": nblocks, "block_size": block_size,
-                     "files": files},
+                     "key": self.pack_key, "files": files},
                     fh,
                 )
             _os.replace(tmp, man_path)
@@ -809,11 +839,12 @@ class PageRank:
                         # analog of the reference's SIMD getVectorPik kernel)
                         k = src.shape[0]
                         for lo in range(0, k, sub):
-                            c = min(sub, k - lo)
-                            w = wbuf[:c]
-                            np.take(rwv, src[lo : lo + c], out=w)
+                            clen = min(sub, k - lo)  # chunk length (NOT the
+                            # damping factor c from the enclosing scope)
+                            w = wbuf[:clen]
+                            np.take(rwv, src[lo : lo + clen], out=w)
                             a += np.bincount(
-                                dstl[lo : lo + c], weights=w, minlength=ml
+                                dstl[lo : lo + clen], weights=w, minlength=ml
                             )
                 if acc:
                     yield pa.RecordBatch.from_arrays(
@@ -868,26 +899,27 @@ class PageRank:
                             dsz = 2 if u16 else isz
                             dbuf = d16 if u16 else dxx
                             for lo in range(0, k, sub):
-                                c = min(sub, k - lo)
+                                clen = min(sub, k - lo)  # chunk length (NOT
+                                # the damping factor c)
                                 if nu:
-                                    # expand the RLE runs covering [lo, lo+c)
+                                    # expand the RLE runs covering [lo, lo+clen)
                                     i0 = int(np.searchsorted(ends, lo, "right"))
-                                    i1 = int(np.searchsorted(ends, lo + c, "left"))
+                                    i1 = int(np.searchsorted(ends, lo + clen, "left"))
                                     cw = counts[i0 : i1 + 1].astype(np.int64)
                                     start0 = int(ends[i0]) - int(counts[i0])
                                     cw[0] -= lo - start0
-                                    over = int(ends[i1]) - (lo + c)
+                                    over = int(ends[i1]) - (lo + clen)
                                     if over > 0:
                                         cw[-1] -= over
                                     w = np.repeat(w_runs[i0 : i1 + 1], cw)
                                 else:
                                     f.seek(20 + lo * isz)
-                                    _read_exact(f, memoryview(sbuf)[:c].cast("B"))
-                                    w = wbuf[:c]
-                                    np.take(rwv, sbuf[:c], out=w)
+                                    _read_exact(f, memoryview(sbuf)[:clen].cast("B"))
+                                    w = wbuf[:clen]
+                                    np.take(rwv, sbuf[:clen], out=w)
                                 f.seek(dst_off + lo * dsz)
-                                _read_exact(f, memoryview(dbuf)[:c].cast("B"))
-                                a += np.bincount(dbuf[:c], weights=w, minlength=ml)
+                                _read_exact(f, memoryview(dbuf)[:clen].cast("B"))
+                                a += np.bincount(dbuf[:clen], weights=w, minlength=ml)
                 if acc:
                     yield pa.RecordBatch.from_arrays(
                         [

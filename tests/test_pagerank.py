@@ -127,6 +127,57 @@ def test_reuse_pack_manifest_guards(spark, tmp_path):
     assert json.load(open(man_file))["version"] > 0  # re-packed manifest
 
 
+def test_pack_key_binds_graph_identity(spark, tmp_path):
+    """pack_key recorded in the manifest turns the silent wrong-graph reuse
+    footgun into a hard error; a keyless (pre-key) manifest re-packs once;
+    re-packing into a persistent scratch dir removes orphaned block files."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    n, m = 1000, 20000
+    edges = synthetic_edges(spark, n, m, seed=3, num_partitions=4)
+    scratch = str(tmp_path / "pack")
+
+    def run(key, max_iter=4):
+        return PageRank(
+            mode="csr", csr_storage="files", scratch_dir=scratch,
+            reuse_pack=True, num_blocks=4, max_iter=max_iter, eps=0.0,
+            pack_key=key,
+        ).run(edges, n)
+
+    r1 = run("graphA")
+    man_file = os.path.join(scratch, "manifest.json")
+    assert json.load(open(man_file))["key"] == "graphA"
+    files_1 = sorted(f for f in os.listdir(scratch) if f.startswith("b"))
+    # same key: reuse (identical ranks, same block files)
+    r2 = run("graphA")
+    assert sorted(f for f in os.listdir(scratch) if f.startswith("b")) == files_1
+    p1 = np.array(r1.ranks.orderBy("id").select("rank").toPandas()["rank"])
+    p2 = np.array(r2.ranks.orderBy("id").select("rank").toPandas()["rank"])
+    assert np.allclose(p1, p2, atol=1e-12)
+    # different key: hard error, not silent wrong-graph reuse
+    with pytest.raises(ValueError, match="wrong graph"):
+        run("graphB", max_iter=1)
+    # keyless manifest (pre-key pack) + key supplied: one-time re-pack that
+    # records the key and leaves no orphaned b*.bin from the old pack
+    man = json.load(open(man_file))
+    del man["key"]
+    json.dump(man, open(man_file, "w"))
+    r3 = run("graphA")
+    assert json.load(open(man_file))["key"] == "graphA"
+    files_3 = sorted(f for f in os.listdir(scratch) if f.startswith("b"))
+    assert not (set(files_1) & set(files_3))  # old pack files removed
+    man3 = json.load(open(man_file))
+    assert {os.path.basename(p) for _, p in man3["files"]} == set(files_3)
+    p3 = np.array(r3.ranks.orderBy("id").select("rank").toPandas()["rank"])
+    assert np.allclose(p1, p3, atol=1e-12)
+
+
 def test_csr_files_multichunk_rle_boundaries(spark):
     """Force each block file to span several 64k-edge sub-chunks so the RLE
     run-splitting math at chunk boundaries is exercised, and compare against
