@@ -122,6 +122,12 @@ def main() -> None:
         lambda: PageRank(mode="dataframe", max_iter=3, eps=0.0).run(edges, n_vertices),
     )
     extra["edges_per_sec_per_iter_df"] = round(res_df.edges_per_sec_per_iter, 1)
+    # broadcast runs 8 iters vs dataframe's 3, so wall times are NOT
+    # comparable — this ratio is the per-iteration comparison (≈1.0 means
+    # broadcast matches dataframe per iteration; csr dominates both)
+    extra["broadcast_per_iter_vs_df"] = round(
+        res_bc.edges_per_sec_per_iter / res_df.edges_per_sec_per_iter, 3
+    )
     extra["edges_per_sec_per_iter"] = max(
         extra["edges_per_sec_per_iter_broadcast"],
         extra["edges_per_sec_per_iter_csr"],

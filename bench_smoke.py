@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""At-scale smokes (not part of the per-round bench: minutes-long).
+
+Run:  python bench_smoke.py [triangles|ngram|all]
+
+- triangles: exact triangle count at 10M vertices / 30M edges on local[32]
+  (the hint gate flips to shuffle_hash joins here) — proves the
+  degree-ordered plan completes without OOM and records wall time.
+- ngram: capped n-gram Jaccard at 50k docs where EVERY doc shares a planted
+  boilerplate prefix (the f^2 inverted-index blowup case). Records wall
+  time, candidate-pair count, and final pair count, and asserts the
+  candidate/doc ratio stays bounded (cap working) — at 50k docs the
+  uncapped plan would need ~1.25e9 candidate rows from the hot shingles
+  alone.
+
+Prints one JSON line per smoke.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def smoke_triangles(spark, n_vertices=10_000_000, n_edges=30_000_000):
+    from pagerank_spark.algorithms.triangles import triangle_count
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    edges = synthetic_edges(
+        spark, n_vertices, n_edges, seed=7, num_partitions=32
+    ).persist()
+    m = edges.count()
+    t0 = time.time()
+    tri = triangle_count(edges)
+    wall = time.time() - t0
+    edges.unpersist()
+    return {
+        "smoke": "triangles_10M",
+        "n_vertices": n_vertices,
+        "n_edges": m,
+        "triangles": tri,
+        "wall_s": round(wall, 2),
+    }
+
+
+def smoke_ngram_capped(spark, n_docs_target=50_000):
+    """Corpus note: the driver's synthetic documents draw from a ~31-token
+    vocabulary, so at 50k docs nearly every pair shares some moderate-df
+    shingle — the candidate graph is dense for ANY exact inverted-index
+    method and says nothing about the hot-shingle cap. This smoke instead
+    synthesizes a realistic-entropy corpus (100 tokens/doc from a 50k-word
+    vocabulary, all JVM-side and deterministic): 45k unique docs + 5k
+    planted near-dups, every doc sharing a planted boilerplate prefix (the
+    f^2 = 2.5e9 hot-shingle blowup case the cap exists for)."""
+    from pagerank_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    n_base = n_docs_target * 9 // 10
+    base = spark.range(n_base).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common boiler plate prefix shared by every document "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(100)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(F.xxhash64(F.col("id") * 1000 + i), F.lit(50_000)),
+                    ),
+                ),
+                " ",
+            ),
+        ).alias("text"),
+    )
+    neardup = spark.range(n_docs_target - n_base).select(
+        (F.col("id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("common boiler plate prefix shared by every document "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(100)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(F.xxhash64(F.col("id") * 1000 + i), F.lit(50_000)),
+                    ),
+                ),
+                " ",
+            ),
+            F.lit(" extra tail token"),
+        ).alias("text"),
+    )
+    docs = base.unionByName(neardup).repartition(32).localCheckpoint(eager=True)
+    n_docs = docs.count()
+    cap = max(1000, n_docs // 100)
+    t0 = time.time()
+    pairs = ngram_jaccard_pairs(docs, threshold=0.4, max_shingle_df=cap).count()
+    wall = time.time() - t0
+    # candidate volume the capped inverted index actually generates
+    # (mirrors the internal candidate plan: hot shingles dropped)
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.filter(F.split(F.lower("text"), r"\W+"), lambda x: x != "").alias("toks"),
+    ).filter(F.size("toks") > 0)
+    sh = toks.select(
+        "id",
+        F.array_distinct(
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.array_join(F.slice("toks", i + 1, 3), " "),
+                ),
+            ).otherwise(F.array(F.array_join("toks", " ")))
+        ).alias("sh"),
+    )
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    hot = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("s")
+    )
+    inv_cand = inv.join(hot, "s", "left_anti")
+    cands = (
+        inv_cand.alias("a")
+        .join(inv_cand.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    cand_per_doc = cands / n_docs
+    assert cand_per_doc < 100, (
+        f"candidate blowup: {cands} candidates for {n_docs} docs"
+    )
+    return {
+        "smoke": "ngram_capped_50k_hot",
+        "n_docs": n_docs,
+        "max_shingle_df": cap,
+        "candidates": cands,
+        "pairs_ge_040": pairs,
+        "cand_per_doc": round(cand_per_doc, 2),
+        "wall_s": round(wall, 2),
+    }
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    from pagerank_spark.session import get_spark
+
+    spark = get_spark("bench_smoke", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    if which in ("triangles", "all"):
+        print(json.dumps(smoke_triangles(spark)))
+    if which in ("ngram", "all"):
+        print(json.dumps(smoke_ngram_capped(spark)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,8 +32,11 @@ Three physical strategies:
   and aggregates by ``dst`` with NO exchange (the persisted partitioning
   already satisfies the aggregate's distribution requirement), entirely
   inside whole-stage codegen. The driver pulls the ≤n contrib rows back via
-  Arrow and advances the scalars. Fastest per-iteration wall time while the
-  rank vector fits in a broadcast (~1e8 vertices).
+  Arrow and advances the scalars. Per-iteration throughput matches the
+  dataframe mode (bench `broadcast_per_iter_vs_df` ≈ 1.0 at sf0.1) while
+  the rank vector fits in a broadcast (~1e8 vertices); kept as the
+  JVM-only execution path and for API parity — csr dominates both on
+  throughput and is what `mode="auto"` picks.
 
 - ``mode="csr"`` — the throughput path: edges are blocked by interleaved
   destination stripes (``dst % nblocks``; hubs further split by src — see

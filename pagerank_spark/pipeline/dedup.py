@@ -163,20 +163,56 @@ def ngram_jaccard_pairs(
     inv = sh.select("id", F.explode("sh").alias("s"))
     if max_shingle_df is not None:
         # drop hot shingles from the index (candidate generation only), then
-        # recompute exact intersections from the full arrays per candidate
-        hot = (
-            inv.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("s")
+        # recompute exact intersections from the full arrays per candidate.
+        # Before paying the full-array join, prune with an EXACT upper
+        # bound: true_inter <= inter_nonhot + min(hot_a, hot_b) and jaccard
+        # is monotone in inter, so any pair whose bound misses the
+        # threshold cannot pass — on boilerplate-heavy corpora this
+        # collapses the expensive re-score join to the true near-dups.
+        dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        hot = dfreq.filter(F.col("df") > max_shingle_df).select("s")
+        hot_per_doc = (
+            inv.join(hot, "s", "left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_hot"))
         )
         inv_cand = inv.join(hot, "s", "left_anti")
         cand = (
             inv_cand.alias("a")
             .join(inv_cand.alias("b"), "s")
             .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter_nh"))
+        )
+        meta = sizes.join(hot_per_doc, "id", "left").select(
+            "id", "sz", F.coalesce("n_hot", F.lit(0)).alias("n_hot")
+        )
+        cand = (
+            cand.join(
+                meta.select(
+                    F.col("id").alias("id_a"),
+                    F.col("sz").alias("sz_a"),
+                    F.col("n_hot").alias("h_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                meta.select(
+                    F.col("id").alias("id_b"),
+                    F.col("sz").alias("sz_b"),
+                    F.col("n_hot").alias("h_b"),
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "inter_ub", F.col("inter_nh") + F.least("h_a", "h_b")
+            )
+            .filter(
+                F.col("inter_ub")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter_ub"))
+                >= threshold
+            )
+            .select("id_a", "id_b")
         )
         pairs = (
             cand.join(
