@@ -78,15 +78,18 @@ def main() -> None:
     # bench runs; the metric itself is computed from per-iteration medians
     # either way, so a cold cache only affects the wall-clock row
     head_scratch = f"/tmp/prbench_pack_{n_verts_head}_{n_edges_head}_s42_c{cpus}"
+    head_key = f"zipf_s42_v{n_verts_head}_e{n_edges_head}"
     try:
         import json as _json
 
         from pagerank_spark.algorithms.pagerank import PACK_FORMAT_VERSION
 
         with open(f"{head_scratch}/manifest.json") as _fh:
-            extra["headline_pack_cached"] = (
-                _json.load(_fh).get("version") == PACK_FORMAT_VERSION
-            )
+            _man = _json.load(_fh)
+        extra["headline_pack_cached"] = (
+            _man.get("version") == PACK_FORMAT_VERSION
+            and _man.get("key") == head_key
+        )
     except (OSError, ValueError):
         extra["headline_pack_cached"] = False
     res_csr = timed(
@@ -96,7 +99,7 @@ def main() -> None:
             scratch_dir=head_scratch, reuse_pack=True,
             # graph identity recorded in the manifest: reusing this scratch
             # dir for a different graph is a hard error, not silent reuse
-            pack_key=f"zipf_s42_v{n_verts_head}_e{n_edges_head}",
+            pack_key=head_key,
         ).run(head_edges, n_verts_head),
     )
     secs = sorted(res_csr.iter_seconds[1:])

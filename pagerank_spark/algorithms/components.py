@@ -46,7 +46,9 @@ def _large_star(e: DataFrame, big: bool) -> DataFrame:
     m = m.select("u", F.least("u", "mn").alias("m"))
     if big:
         m = m.hint("shuffle_hash")
-    return _dedup(
+    # no trailing dedup: every consumer is _small_star, whose canonicalize +
+    # dropDuplicates subsumes it — one O(E) shuffle per round instead of two
+    return (
         und.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -96,7 +98,10 @@ def connected_components(
         meta = catalog.current_meta(f"cc_ckpt_{run_id}")
         e = catalog.read(spark, f"cc_ckpt_{run_id}").localCheckpoint(eager=True)
         start_iter = int(meta.summary.get("iteration", 0))
-    prev = _checksum(e)
+    # no pre-loop checksum scan: the loop compares consecutive iterates, and
+    # round 1's output is in star form while the input is not — prev=None
+    # just means the first comparison can't fire (it couldn't have anyway)
+    prev: tuple[int, int] | None = None
     from pagerank_spark import util
 
     big = util.approx_vertex_count(e, "u", "v") > util.BROADCAST_SAFE_ROWS

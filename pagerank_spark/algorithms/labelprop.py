@@ -29,13 +29,19 @@ def label_propagation(
     check_convergence: bool = True,
 ) -> DataFrame:
     """edges(src,dst), vertices(id) -> (id, label). Exact at fixed rounds."""
-    und = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    # dedup the canonical (lo, hi) form — |E| rows through the shuffle —
+    # then mirror it; deduping the mirrored 2|E| form shuffles twice the data
+    # for the same result
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=True)
     )
+    und = canon.union(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint(
         eager=True
     )

@@ -21,26 +21,42 @@ from pyspark.sql import functions as F
 def _oriented(edges: DataFrame, big: bool | None = None) -> DataFrame:
     from pagerank_spark import util
 
+    # canonicalize (lo, hi) FIRST, so the dedup shuffles |E| rows instead of
+    # the 2|E| both-directions form (it used to be the largest shuffle here),
+    # and checkpoint: the canonical edge set feeds both the degree aggregate
+    # and the ranking join
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
     if big is None:
         # deg is O(V): above the safe-broadcast row count its hash relation
         # OOMs the driver if auto-broadcast (PLANS.md); below it, the
         # broadcast join is the better small-graph plan — size-gate the hint
-        # on the broadcast-side (vertex) count like CC/LP/PageRank
-        big = util.approx_vertex_count(edges) > util.BROADCAST_SAFE_ROWS
-    und = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
+        # on the broadcast-side (vertex) count like CC/LP/PageRank. The HLL
+        # runs over the checkpointed canonical set, not a rescan of the input.
+        row = (
+            canon.select(F.col("a").alias("x"))
+            .union(canon.select(F.col("b").alias("x")))
+            .agg(F.approx_count_distinct("x").alias("n"))
+            .first()
+        )
+        big = int(row["n"]) > util.BROADCAST_SAFE_ROWS
+    deg = (
+        canon.select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "id")
-    d1 = deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "deg_a")
-    d2 = deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "deg_b")
+    d1 = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    d2 = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
     if big:
         d1, d2 = d1.hint("shuffle_hash"), d2.hint("shuffle_hash")
-    ranked = und.join(d1, "a").join(d2, "b")
-    # canonical undirected pair once: keep a<b, then orient by (deg, id)
-    canon = ranked.filter(F.col("a") < F.col("b"))
+    # orient each canonical pair by (deg, id)
+    canon = canon.join(d1, "a").join(d2, "b")
     return canon.select(
         F.when(
             (F.col("deg_a") < F.col("deg_b"))

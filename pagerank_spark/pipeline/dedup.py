@@ -138,9 +138,14 @@ def ngram_jaccard_pairs(
     explicitly opt into the uncapped O(f^2)-per-hot-shingle plan (tiny
     corpora / oracle comparisons).
     """
+    from pagerank_spark.util import widen_partitions
+
     if max_shingle_df == "auto":
         max_shingle_df = max(1000, docs.count() // 100)
-    toks = docs.select(
+    # shingling is a compute-heavy per-row stage (interpreted higher-order
+    # transform): spread it across the session parallelism even when the
+    # input is a single file split
+    toks = widen_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.filter(
             F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
@@ -159,6 +164,11 @@ def ngram_jaccard_pairs(
             ).otherwise(F.array(F.array_join("toks", " ")))
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
+    # the shingle table feeds the inverted index, the size table, and (on
+    # the capped path) the exact re-score join — materialize it once instead
+    # of re-running the tokenizer/shingler 3-4x per consumer. Executor-local
+    # mem+disk; recompute would cost more than the storage at any scale.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.select("id", F.size("sh").alias("sz"))
     inv = sh.select("id", F.explode("sh").alias("s"))
     if max_shingle_df is not None:
@@ -275,7 +285,9 @@ def _jvm_shingle_hashes(
     into the exact 64-bit pattern) & (2^61-1) — bit-identical to the Python
     _md5_64 path, so the DuckDB oracle keeps matching. hash_fn="xxhash":
     built-in xxhash64 & (2^61-1) — the fastest production hash."""
-    toks = docs.select(
+    from pagerank_spark.util import widen_partitions
+
+    toks = widen_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.filter(
             F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"),
@@ -391,7 +403,9 @@ def minhash_signatures(
                 sigs.append(sig_from_hashes(h).tolist())
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from pagerank_spark.util import widen_partitions
+
+    return widen_partitions(docs.select(id_col, text_col)).mapInPandas(
         gen_py, "doc_id long, sig array<long>"
     )
 
@@ -539,7 +553,11 @@ def simhash_signatures(
                 hashes.clear()
                 usigns = np.empty((0, 64), dtype=np.int8)
 
-    return docs.select(id_col, text_col).mapInPandas(gen, "doc_id long, simhash long")
+    from pagerank_spark.util import widen_partitions
+
+    return widen_partitions(docs.select(id_col, text_col)).mapInPandas(
+        gen, "doc_id long, simhash long"
+    )
 
 
 def _simhash_signatures_sql(

@@ -110,7 +110,11 @@ def lsh_signatures(
             sig = (bits * weights).sum(axis=1)
             yield pd.DataFrame({"vec_id": batch[id_col], "sig": sig})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(gen, "vec_id long, sig long")
+    from pagerank_spark.util import widen_partitions
+
+    return widen_partitions(embeddings.select(id_col, vec_col)).mapInPandas(
+        gen, "vec_id long, sig long"
+    )
 
 
 def _band_values(
@@ -154,7 +158,9 @@ def _band_values(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    from pagerank_spark.util import widen_partitions
+
+    return widen_partitions(df.select(id_col, vec_col)).mapInPandas(
         gen, f"{out_id} long, band int, bv long"
     )
 
@@ -306,7 +312,9 @@ def ivf_topk(
                 {"vec_id": batch[id_col], "list_id": np.argmax(mat @ cent.T, axis=1)}
             )
 
-    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+    from pagerank_spark.util import widen_partitions
+
+    assigned = widen_partitions(embeddings.select(id_col, vec_col)).mapInPandas(
         assign, "vec_id long, list_id int"
     )
 

@@ -28,6 +28,25 @@ def approx_vertex_count(edges: DataFrame, src: str = "src", dst: str = "dst") ->
     return int(row["n"])
 
 
+def widen_partitions(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism when
+    a DataFrame arrives with fewer partitions.
+
+    Spark sizes file-scan partitions by BYTES (spark.sql.files.maxPartitionBytes),
+    which is right for scan-bound work but wrong for compute-heavy per-ROW
+    stages: a corpus that fits one 128 MB split pins an Arrow-UDF signature
+    pass or an interpreted higher-order shingle expression to a single task
+    (measured 17x slowdown at local[32] on a one-file documents table). At
+    cluster scale inputs span many files so this is usually a no-op; the
+    repartition only fires on the narrow-input case it exists for.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def set_checksum(df: DataFrame, *cols: str) -> tuple[int, int]:
     """Order-insensitive fingerprint of a DataFrame treated as a SET of rows:
     (row count, bit_xor of xxhash64 over ``cols``). One cheap scan, no join;
