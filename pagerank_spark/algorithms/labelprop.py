@@ -29,19 +29,6 @@ def label_propagation(
     check_convergence: bool = True,
 ) -> DataFrame:
     """edges(src,dst), vertices(id) -> (id, label). Exact at fixed rounds."""
-    # dedup the canonical (lo, hi) form — |E| rows through the shuffle —
-    # then mirror it; deduping the mirrored 2|E| form shuffles twice the data
-    # for the same result
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
-    )
-    und = canon.union(
-        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
     labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint(
         eager=True
     )
@@ -56,6 +43,31 @@ def label_propagation(
     prev_sum = set_checksum(labels, "id", "label") if check_convergence else None
     n_vertices = prev_sum[0] if check_convergence else labels.count()
     big = n_vertices > util.BROADCAST_SAFE_ROWS
+
+    # dedup the canonical (lo, hi) form — |E| rows through the shuffle —
+    # then mirror it; deduping the mirrored 2|E| form shuffles twice the
+    # data for the same result. The edge table is FIXED across rounds, so
+    # hash-partition it ONCE (persist keeps the outputPartitioning, which a
+    # localCheckpoint's Scan ExistingRDD would drop) on the key that removes
+    # the per-round O(E) exchanges:
+    #   small graphs: labels broadcast -> the join preserves und's
+    #     partitioning, and HashPartitioning(a) satisfies both groupBy(a,
+    #     label) and groupBy(a) — rounds run with ZERO O(E) exchanges.
+    #   big graphs: the labels join is shuffle_hash on b -> partition by b
+    #     so only the O(V) labels side moves; one O(E) agg exchange remains.
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    und = (
+        canon.union(canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition("b" if big else "a")
+        .persist()
+    )
+    und.count()  # materialize eagerly, matching the old checkpoint behavior
 
     def _hs(df: DataFrame) -> DataFrame:
         return df.hint("shuffle_hash") if big else df
@@ -80,4 +92,5 @@ def label_propagation(
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
+    und.unpersist()  # the returned labels are checkpointed — safe to drop
     return labels

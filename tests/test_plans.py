@@ -78,3 +78,56 @@ def test_textstats_stay_jvm_side(spark):
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_node not in plan
     assert "Exchange" not in plan  # map-only: no shuffle for per-doc stats
+
+
+def test_widen_partitions_spreads_narrow_input(spark):
+    """Compute-heavy per-row stages must not inherit a single file split:
+    widen_partitions spreads a narrow input to the session parallelism and
+    leaves already-wide inputs untouched (no extra shuffle)."""
+    from pagerank_spark.util import widen_partitions
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    assert widen_partitions(narrow).rdd.getNumPartitions() == target
+    wide = spark.range(1000).repartition(target + 4)
+    assert widen_partitions(wide) is wide
+
+
+def test_signature_pass_parallel_on_single_file(spark):
+    """The MinHash signature pass over a one-split corpus plans a round-robin
+    repartition ahead of the Arrow UDF — the measured 17x single-task pin."""
+    from pagerank_spark.pipeline.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert docs.rdd.getNumPartitions() == 1  # the hazard this guards against
+    sig = minhash_signatures(docs)
+    assert sig.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_cached_repartition_feeds_exchange_free_aggregation(spark):
+    """The label-propagation round contract: an edge table cached as
+    repartition("a") keeps its outputPartitioning through a broadcast join,
+    so both round aggregates (groupBy(a, label) then groupBy(a)) plan with
+    NO new Exchange — rounds move zero O(E) bytes on small graphs."""
+    e = spark.range(2000).select(
+        (F.col("id") % 100).alias("a"), (F.col("id") % 37).alias("b")
+    )
+    part = e.repartition("a").persist()
+    part.count()
+    labels = spark.range(37).select(
+        F.col("id"), (F.col("id") * 10).alias("label")
+    )
+    agg = (
+        part.join(F.broadcast(labels), part.b == labels.id)
+        .groupBy("a", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("a")
+        .agg(F.expr("max_by(label, struct(cnt, -label))").alias("new_label"))
+    )
+    plan = _plan(agg)
+    # operators ABOVE the cached relation print before it in the formatted
+    # tree; no hash-partitioning Exchange may appear there
+    head = plan.split("InMemoryRelation")[0]
+    assert "Exchange hashpartitioning" not in head
+    part.unpersist()
