@@ -60,7 +60,15 @@ def _small_star(e: DataFrame, big: bool) -> DataFrame:
     hi_lo = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    hi_lo = hi_lo.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    # one exchange on u serves BOTH the dedup and the min-aggregate:
+    # HashPartitioning(u) satisfies the dedup's ClusteredDistribution(u, v),
+    # and the groupBy(u) below reuses the same partitioning — previously the
+    # dedup exchanged on (u, v) and the groupBy exchanged again on u
+    hi_lo = (
+        hi_lo.filter(F.col("u") != F.col("v"))
+        .repartition("u")
+        .dropDuplicates(["u", "v"])
+    )
     m = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
     if big:
         m = m.hint("shuffle_hash")

@@ -44,27 +44,26 @@ def label_propagation(
     n_vertices = prev_sum[0] if check_convergence else labels.count()
     big = n_vertices > util.BROADCAST_SAFE_ROWS
 
-    # dedup the canonical (lo, hi) form — |E| rows through the shuffle —
-    # then mirror it; deduping the mirrored 2|E| form shuffles twice the
-    # data for the same result. The edge table is FIXED across rounds, so
-    # hash-partition it ONCE (persist keeps the outputPartitioning, which a
-    # localCheckpoint's Scan ExistingRDD would drop) on the key that removes
-    # the per-round O(E) exchanges:
+    # Build the undirected edge table with ONE exchange: mirror first, then
+    # repartition on the round key and dedup — HashPartitioning(a) satisfies
+    # the dedup's ClusteredDistribution(a, b) (equal pairs colocate), so the
+    # dropDuplicates plans no exchange of its own. The edge table is FIXED
+    # across rounds, so persist keeps that outputPartitioning (which a
+    # localCheckpoint's Scan ExistingRDD would drop) and removes the
+    # per-round O(E) exchanges:
     #   small graphs: labels broadcast -> the join preserves und's
     #     partitioning, and HashPartitioning(a) satisfies both groupBy(a,
     #     label) and groupBy(a) — rounds run with ZERO O(E) exchanges.
     #   big graphs: the labels join is shuffle_hash on b -> partition by b
     #     so only the O(V) labels side moves; one O(E) agg exchange remains.
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    directed = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    und = (
+        directed.union(
+            directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
-    )
-    und = (
-        canon.union(canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .repartition("b" if big else "a")
+        .dropDuplicates(["a", "b"])
         .persist()
     )
     und.count()  # materialize eagerly, matching the old checkpoint behavior
