@@ -25,14 +25,22 @@ def _oriented(edges: DataFrame, big: bool | None = None) -> DataFrame:
     # the 2|E| both-directions form (it used to be the largest shuffle here),
     # and checkpoint: the canonical edge set feeds both the degree aggregate
     # and the ranking join
+    # one exchange on `a` serves BOTH the dedup (HashPartitioning(a)
+    # satisfies its ClusteredDistribution(a, b)) and the big-graph ranking
+    # join on `a` below — persist keeps the outputPartitioning that a
+    # localCheckpoint's Scan ExistingRDD would drop. Skew exposure matches
+    # the downstream joins/aggregates (per-vertex degree), with map-side
+    # partial dedup absorbing the fan-in before the exchange.
     canon = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
+        .repartition("a")
         .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    canon.count()  # materialize eagerly (replaces the old eager checkpoint)
     if big is None:
         # deg is O(V): above the safe-broadcast row count its hash relation
         # OOMs the driver if auto-broadcast (PLANS.md); below it, the
@@ -70,7 +78,12 @@ def _oriented(edges: DataFrame, big: bool | None = None) -> DataFrame:
 
 def triangles(edges: DataFrame) -> DataFrame:
     """-> one row per triangle (x, y, z), x<y<z. Exact, each counted once."""
-    o = _oriented(edges).localCheckpoint(eager=True)
+    # persist partitioned on the pivot: w1/w2 are alias-projections of the
+    # same cached table, so the wedge self-join on p sees HashPartitioning(p)
+    # on both sides and plans ZERO exchanges (previously the checkpoint
+    # dropped partitioning and both wedge sides re-shuffled O(E') rows)
+    o = _oriented(edges).repartition("u").persist()
+    o.count()  # materialize eagerly
     w1 = o.select(F.col("u").alias("p"), F.col("v").alias("a"))
     w2 = o.select(F.col("u").alias("p"), F.col("v").alias("b"))
     wedges = w1.join(w2, "p").filter(F.col("a") < F.col("b"))
