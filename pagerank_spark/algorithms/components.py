@@ -42,6 +42,10 @@ def _dedup(e: DataFrame) -> DataFrame:
 def _large_star(e: DataFrame, big: bool) -> DataFrame:
     """Γ taken over both directions; emit (v, m(u)) for v in Γ(u), v > u."""
     und = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # one exchange on u serves the min-aggregate AND the und⋈m join below —
+    # without it the join re-exchanges the full O(2E) mirrored set after the
+    # groupBy's post-partial-agg exchange
+    und = und.repartition("u")
     m = und.groupBy("u").agg(F.min("v").alias("mn"))
     m = m.select("u", F.least("u", "mn").alias("m"))
     if big:
