@@ -9,6 +9,11 @@ changes, whichever comes first.
 One round = join(edges, labels) -> groupBy(dst, label).count ->
 max_by(label, (count, -label)) — all hash aggregates; the (count, -label)
 struct ordering implements the min-label tie-break without a window.
+Physical cost per round: ZERO exchanges on small graphs (broadcast labels
+over the cached hash(a) edge table), ONE exchange on big graphs (the
+statically-checkpointed labels keep hash(id), so both labels joins are
+exchange-free and a single repartition("a") feeds both aggregates — see
+_lp_round).
 
 Convergence detection uses an order-insensitive set checksum
 (count, bit_xor(xxhash64)) — one cheap scan per round instead of a join.
@@ -22,6 +27,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _lp_round(und: DataFrame, labels: DataFrame, big: bool) -> DataFrame:
+    """One synchronous round as a DataFrame plan.
+
+    Small graphs (labels broadcast): ZERO exchanges — the join preserves
+    und's hash(a) and both aggregates reuse it (alias-aware partitioning).
+    Big graphs: ONE exchange — und hash(b) x labels' checkpointed hash(id)
+    join with no exchange, one repartition("a") feeds BOTH aggregates
+    (hash(a) satisfies groupBy(a, label) and groupBy(a)), and the label
+    update join reuses hash(id) x the aggregate's hash(id). Requires the
+    labels checkpoint to be compiled under util.static_plan (see PageRank's
+    _df_iteration for the same contract). Audited by
+    tests/test_plans.py::test_labelprop_big_round_single_exchange."""
+
+    def _hs(df: DataFrame) -> DataFrame:
+        return df.hint("shuffle_hash") if big else df
+
+    joined = und.join(_hs(labels), und.b == labels.id).select("a", "label")
+    if big:
+        joined = joined.repartition("a")
+    nbr = joined.groupBy(F.col("a").alias("id"), "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = nbr.groupBy("id").agg(
+        F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
+    )
+    return labels.join(_hs(best), "id", "left").select(
+        "id", F.coalesce("new_label", "label").alias("label")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     vertices: DataFrame,
@@ -29,20 +64,28 @@ def label_propagation(
     check_convergence: bool = True,
 ) -> DataFrame:
     """edges(src,dst), vertices(id) -> (id, label). Exact at fixed rounds."""
-    labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint(
-        eager=True
-    )
-
     from pagerank_spark import util
     from pagerank_spark.util import set_checksum
+
+    spark = edges.sparkSession
+    labels0 = vertices.select("id", F.col("id").alias("label"))
 
     # O(V) label/best tables must not be auto-broadcast on big graphs (the
     # driver-OOM class in PLANS.md); small graphs keep the broadcast plans.
     # The vertex count comes free from the convergence checksum when that is
     # on (one fewer action per call).
-    prev_sum = set_checksum(labels, "id", "label") if check_convergence else None
-    n_vertices = prev_sum[0] if check_convergence else labels.count()
+    prev_sum = set_checksum(labels0, "id", "label") if check_convergence else None
+    n_vertices = prev_sum[0] if check_convergence else labels0.count()
     big = n_vertices > util.BROADCAST_SAFE_ROWS
+
+    # big graphs: hash(id)-partition the labels and checkpoint under
+    # static_plan so the LogicalRDD KEEPS the partitioning — every round's
+    # two labels joins then plan no O(V) re-exchange (AQE-compiled
+    # checkpoints record UnknownPartitioning; see util.static_plan)
+    with util.static_plan(spark):
+        labels = (labels0.repartition("id") if big else labels0).localCheckpoint(
+            eager=True
+        )
 
     # Build the undirected edge table with ONE exchange: mirror first, then
     # repartition on the round key and dedup — HashPartitioning(a) satisfies
@@ -54,8 +97,9 @@ def label_propagation(
     #   small graphs: labels broadcast -> the join preserves und's
     #     partitioning, and HashPartitioning(a) satisfies both groupBy(a,
     #     label) and groupBy(a) — rounds run with ZERO O(E) exchanges.
-    #   big graphs: the labels join is shuffle_hash on b -> partition by b
-    #     so only the O(V) labels side moves; one O(E) agg exchange remains.
+    #   big graphs: partition by b so the join consumes und's hash(b) x the
+    #     checkpointed labels' hash(id) with NO exchange; one
+    #     repartition("a") then feeds both aggregates (see _lp_round).
     directed = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     und = (
         directed.union(
@@ -68,22 +112,9 @@ def label_propagation(
     )
     und.count()  # materialize eagerly, matching the old checkpoint behavior
 
-    def _hs(df: DataFrame) -> DataFrame:
-        return df.hint("shuffle_hash") if big else df
     for _ in range(max_iter):
-        nbr = (
-            und.join(_hs(labels), und.b == labels.id)
-            .groupBy(F.col("a").alias("id"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        best = nbr.groupBy("id").agg(
-            F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
-        )
-        new_labels = (
-            labels.join(_hs(best), "id", "left")
-            .select("id", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        with util.static_plan(spark):
+            new_labels = _lp_round(und, labels, big).localCheckpoint(eager=True)
         labels.unpersist()
         labels = new_labels
         if check_convergence:

@@ -21,10 +21,19 @@ Three physical strategies:
 - ``mode="dataframe"`` — the fully distributed path: the SpMV is the
   edges⋈ranks equi-join + groupBy(dst) sum (the distributed analog of the
   reference's column-strided `getVectorPik` kernel). Scales to any vertex
-  count; 2 shuffles per iteration; per-iteration residual/dangling/total
-  scalars come from ONE cheap scan over the checkpointed state (delta, next
-  dangling mass, and total mass are fused into a single aggregate, mirroring
-  the reference's fused `getDelta` copy+residual kernel).
+  count; ONE shuffle per iteration: the per-iteration state checkpoint is
+  compiled with AQE disabled (util.static_plan) so the LogicalRDD records
+  its hash(id) partitioning — under AQE, localCheckpoint captures
+  UnknownPartitioning (the adaptive wrapper has no final plan yet), which
+  silently costs 2 extra O(V) exchanges per iteration. With the
+  partitioning kept, the contribution join reuses the edge cache's
+  hash(src) × the state checkpoint's hash(id), the rank-update left join
+  reuses hash(id) × the aggregate's hash(dst), and only the contribution
+  groupBy exchanges data (map-side-combined partials). Per-iteration
+  residual/dangling/total scalars come from ONE cheap scan over the
+  checkpointed state (delta, next dangling mass, and total mass are fused
+  into a single aggregate, mirroring the reference's fused `getDelta`
+  copy+residual kernel).
 
 - ``mode="broadcast"`` — the single-iteration-latency path, all JVM-side:
   weighted edges are hash-partitioned by ``dst`` once and persisted; each
@@ -202,7 +211,7 @@ class PageRank:
     def dispatch_mode(cls, n: int) -> str:
         """mode="auto" resolution: csr (driver-assembled rank vector, fastest
         measured throughput) while the vector comfortably fits driver/executor
-        memory; dataframe (nothing driver-resident, 2 shuffles/iter) beyond.
+        memory; dataframe (nothing driver-resident, 1 shuffle/iter) beyond.
         The broadcast mode is never auto-chosen: it is dominated by csr on
         throughput and by dataframe on scalability (kept for API parity and
         as the JVM-only execution path)."""
@@ -218,11 +227,50 @@ class PageRank:
     BROADCASTABLE_N = _util.BROADCAST_SAFE_ROWS
 
     # ------------------------------------------------------- dataframe path
+    def _df_iteration(self, ew, state, n: int, dmass: float, total: float, no_bcast):
+        """One power-iteration step as a DataFrame plan.
+
+        Physical cost is a SINGLE shuffle exchange (the contribution
+        aggregation): the contribution join consumes the edge cache's
+        hash(src) and the state checkpoint's hash(id) partitionings, and
+        the rank-update left join consumes hash(id) × the aggregation
+        output's hash(dst) — EnsureRequirements inserts no exchange for
+        either, PROVIDED the state checkpoint was compiled under
+        util.static_plan (AQE-compiled checkpoints record
+        UnknownPartitioning and regress this plan to 3 exchanges). Audited
+        by tests/test_plans.py::test_pagerank_df_iteration_single_exchange."""
+        c = self.c
+        joined = ew.join(no_bcast(state.select("id", "rank")), ew.src == F.col("id"))
+        if self.salt_partitions:
+            from pagerank_spark.graph.skew import salted_sum
+
+            contribs = salted_sum(
+                joined, "dst", F.col("rank") * F.col("w"),
+                self.salt_partitions, salt_source="src", out="contrib",
+            )
+        else:
+            contribs = joined.groupBy("dst").agg(
+                F.sum(F.col("rank") * F.col("w")).alias("contrib")
+            )
+        return (
+            state.join(no_bcast(contribs), state.id == contribs.dst, "left")
+            .select(
+                state.id,
+                (
+                    F.lit(c)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dmass / n))
+                    + F.lit((1.0 - c) / n * total)
+                ).alias("rank"),
+                state.rank.alias("old_rank"),
+                "non_dangling",
+            )
+        )
+
     def _run_dataframe(
         self, edges: DataFrame, n: int, run_id: str, resume: bool
     ) -> PageRankResult:
         spark = edges.sparkSession
-        c, eps = self.c, self.eps
+        eps = self.eps
         shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
         def no_bcast(df: DataFrame) -> DataFrame:
@@ -242,18 +290,26 @@ class PageRank:
         # state: (id, rank, dangling). dangling carried as a column so the
         # per-iteration stats need no join (fused like getDelta_*.nasm).
         src_ids = degrees.select(F.col("src").alias("id"))
-        state = (
-            spark.range(0, n, 1, shuffle_p)
-            .select(F.col("id").cast("long"))
-            .join(no_bcast(src_ids.withColumn("nd", F.lit(True))), "id", "left")
-            .select(
-                "id",
-                F.lit(1.0 / n).alias("rank"),
-                F.coalesce(F.col("nd"), F.lit(False)).alias("non_dangling"),
+        # every state checkpoint is compiled under static_plan so the
+        # LogicalRDD keeps the hash(id) partitioning — the 1-shuffle/iter
+        # contract (see _df_iteration and the module docstring)
+        # NOTE: spark.range already emits `id: long` — a no-op cast here is
+        # NOT harmless: the optimizer collapses it and the checkpoint then
+        # records its partitioning against the pre-cast attribute, which no
+        # longer matches the LogicalRDD output → every downstream join would
+        # re-exchange the state (guarded by the plan test).
+        with _util.static_plan(spark):
+            state = (
+                spark.range(0, n, 1, shuffle_p)
+                .join(no_bcast(src_ids.withColumn("nd", F.lit(True))), "id", "left")
+                .select(
+                    "id",
+                    F.lit(1.0 / n).alias("rank"),
+                    F.coalesce(F.col("nd"), F.lit(False)).alias("non_dangling"),
+                )
+                .repartition(shuffle_p, "id")
+                .localCheckpoint(eager=True)
             )
-            .repartition(shuffle_p, "id")
-            .localCheckpoint(eager=True)
-        )
         start_iter = 0
         init = state.agg(
             F.sum(F.when(~F.col("non_dangling"), F.col("rank"))).alias("dmass"),
@@ -270,35 +326,17 @@ class PageRank:
         deltas: list[float] = []
         iter_secs: list[float] = []
         it = start_iter
-        prev_state = None
         for it in range(start_iter + 1, self.max_iter + 1):
             t0 = time.time()
-            joined = ew.join(state.select("id", "rank"), ew.src == F.col("id"))
-            if self.salt_partitions:
-                from pagerank_spark.graph.skew import salted_sum
-
-                contribs = salted_sum(
-                    joined, "dst", F.col("rank") * F.col("w"),
-                    self.salt_partitions, salt_source="src", out="contrib",
-                )
-            else:
-                contribs = joined.groupBy("dst").agg(
-                    F.sum(F.col("rank") * F.col("w")).alias("contrib")
-                )
-            new_state = (
-                state.join(no_bcast(contribs), state.id == contribs.dst, "left")
-                .select(
-                    state.id,
-                    (
-                        F.lit(c)
-                        * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dmass / n))
-                        + F.lit((1.0 - c) / n * total)
-                    ).alias("rank"),
-                    state.rank.alias("old_rank"),
-                    "non_dangling",
-                )
-            )
-            new_state = new_state.localCheckpoint(eager=True)
+            # statically planned checkpoint: materializes the new state as a
+            # LogicalRDD that KEEPS hash(id) — the next iteration's joins and
+            # this iteration's rank-update join plan no state re-exchange
+            with _util.static_plan(spark):
+                new_state = self._df_iteration(
+                    ew, state, n, dmass, total, no_bcast
+                ).localCheckpoint(eager=True)
+            # single fused scan over the checkpoint: residual + next
+            # dangling/total mass (getDelta analog)
             stats = new_state.agg(
                 F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
                 F.sum(F.when(~F.col("non_dangling"), F.col("rank"))).alias("dmass"),
@@ -307,9 +345,6 @@ class PageRank:
             delta = float(stats["delta"])
             dmass = float(stats["dmass"] or 0.0)
             total = float(stats["total"])
-            if prev_state is not None:
-                prev_state.unpersist()
-            prev_state = state
             state = new_state.select("id", "rank", "non_dangling")
             deltas.append(delta)
             wall = time.time() - t0
@@ -1010,11 +1045,14 @@ class PageRank:
         meta = self.catalog.current_meta(table)
         if meta is None:
             return None
-        df = (
-            self.catalog.read(spark, table)
-            .repartition(shuffle_p, "id")
-            .localCheckpoint(eager=True)
-        )
+        # statically planned checkpoint keeps the hash(id) partitioning so
+        # the resumed iteration chain stays 1-shuffle (see _df_iteration)
+        with _util.static_plan(spark):
+            df = (
+                self.catalog.read(spark, table)
+                .repartition(shuffle_p, "id")
+                .localCheckpoint(eager=True)
+            )
         s = meta.summary
         return df, int(s["iteration"]), float(s["dmass"]), float(s["total"])
 

@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Row count above which an O(V)-sized join side must never be auto-broadcast:
@@ -12,6 +14,32 @@ from pyspark.sql import functions as F
 # shuffle_hash hints are size-gated on this shared constant (PageRank
 # dataframe mode, connected components, label propagation, triangles).
 BROADCAST_SAFE_ROWS = 2_000_000
+
+
+@contextmanager
+def static_plan(spark: SparkSession):
+    """Compile and execute the wrapped queries with AQE disabled.
+
+    ``localCheckpoint(eager=True)`` under AQE records UnknownPartitioning in
+    the resulting LogicalRDD (AdaptiveSparkPlanExec reports no partitioning
+    until its final plan exists, which is after the checkpoint captures it),
+    so every downstream join against the checkpoint re-exchanges it. A
+    statically planned checkpoint keeps the real hash partitioning, letting
+    iterative algorithms chain checkpoints at one shuffle per iteration.
+    The previous AQE setting is restored on exit.
+
+    Pitfall: a Dataset caches its QueryExecution on first access, so the
+    frame being checkpointed must have its plan FIRST compiled inside this
+    context — explaining/auditing it beforehand (with AQE on) poisons the
+    later checkpoint with the adaptive plan. Audit a separately built copy
+    of the plan instead (see tests/test_plans.py)."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def approx_vertex_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> int:

@@ -105,6 +105,153 @@ def test_signature_pass_parallel_on_single_file(spark):
     assert sig.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
 
 
+def _exchanges(df) -> tuple[int, int]:
+    """(shuffle, broadcast) Exchange counts in the physical plan, NOT
+    descending into cached subtrees (InMemoryTableScan is a leaf); unwraps
+    the AQE wrapper to its initial plan — ENSURE_REQUIREMENTS exchange
+    placement is decided there and AQE does not add shuffles."""
+
+    def walk(jp, acc):
+        name = jp.nodeName()
+        if name == "AdaptiveSparkPlan":
+            for m in ("initialPlan", "inputPlan"):
+                try:
+                    jp = getattr(jp, m)()
+                    break
+                except Exception:
+                    continue
+            name = jp.nodeName()
+        if "Exchange" in name:
+            acc[1 if "Broadcast" in name else 0] += 1
+        ch = jp.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), acc)
+
+    acc = [0, 0]
+    walk(df._jdf.queryExecution().executedPlan(), acc)
+    return acc[0], acc[1]
+
+
+def test_pagerank_df_iteration_single_exchange(spark, monkeypatch):
+    """Dataframe-mode PageRank iteration: exactly ONE shuffle exchange (the
+    contribution aggregation). The contribution join must reuse the edge
+    cache's hash(src) and the state checkpoint's hash(id); the rank-update
+    left join must reuse hash(id) x the aggregation's hash(dst). This is
+    the 1-shuffle/iter contract _run_dataframe keeps by compiling every
+    state checkpoint under util.static_plan (an AQE-compiled localCheckpoint
+    records UnknownPartitioning and regresses the same plan to 3
+    exchanges/iter — asserted below as the counterexample)."""
+    from pagerank_spark.algorithms.pagerank import PageRank
+    from pagerank_spark.sources.synthetic import synthetic_edges
+    from pagerank_spark.util import static_plan
+
+    monkeypatch.setattr(PageRank, "BROADCASTABLE_N", 10)  # at-scale hints on
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = 300
+    edges = synthetic_edges(spark, n, 3000, seed=7, num_partitions=4)
+    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = (
+        edges.join(degrees.hint("shuffle_hash"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .repartition(p, "src")
+        .persist()
+    )
+    ew.count()
+    state0 = (
+        spark.range(0, n, 1, p)
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            F.lit(True).alias("non_dangling"),
+        )
+        .repartition(p, "id")
+    )
+    with static_plan(spark):
+        state = state0.localCheckpoint(eager=True)
+
+    pr = PageRank()
+
+    def no_bcast(df):
+        return df.hint("shuffle_hash")
+
+    sh, _bc = _exchanges(pr._df_iteration(ew, state, n, 0.0, 1.0, no_bcast))
+    assert sh == 1, f"iteration planned {sh} shuffle exchanges, want 1"
+
+    # chain property: the next iteration off the checkpointed result (what
+    # the run loop does) is single-exchange again. NOTE: checkpoint a FRESH
+    # plan object — a Dataset caches its QueryExecution on first access, so
+    # checkpointing the frame audited above would capture its AQE-compiled
+    # plan (UnknownPartitioning) instead of the static one (the
+    # static_plan docstring pitfall; exactly what the run loop avoids by
+    # checkpointing before any explain).
+    with static_plan(spark):
+        nxt = pr._df_iteration(ew, state, n, 0.0, 1.0, no_bcast).localCheckpoint(
+            eager=True
+        )
+    step2 = pr._df_iteration(
+        ew, nxt.select("id", "rank", "non_dangling"), n, 0.0, 1.0, no_bcast
+    )
+    sh2, _bc2 = _exchanges(step2)
+    assert sh2 == 1, f"chained iteration planned {sh2} shuffle exchanges, want 1"
+
+    # counterexample guard: an AQE-compiled checkpoint loses the partitioning
+    # and the same iteration pays 3 shuffles — if this starts passing with
+    # sh3 == 1, Spark fixed the AQE metadata and static_plan can be retired.
+    # (fresh plan object: state0's own QueryExecution is already the static
+    # one from above — the same caching pitfall in the other direction)
+    bad0 = (
+        spark.range(0, n, 1, p)
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            F.lit(True).alias("non_dangling"),
+        )
+        .repartition(p, "id")
+    )
+    bad_state = bad0.localCheckpoint(eager=True)  # AQE on (session default)
+    step3 = pr._df_iteration(ew, bad_state, n, 0.0, 1.0, no_bcast)
+    sh3, _bc3 = _exchanges(step3)
+    assert sh3 == 3, f"AQE checkpoint counterexample planned {sh3}, expected 3"
+    ew.unpersist()
+
+
+def test_labelprop_big_round_single_exchange(spark):
+    """Big-graph label-propagation round: exactly ONE shuffle exchange (the
+    repartition("a") feeding both aggregates). The neighbor join must reuse
+    the edge cache's hash(b) x the statically-checkpointed labels' hash(id);
+    the label-update join must reuse hash(id) x the aggregate's hash(id)."""
+    from pagerank_spark.algorithms.labelprop import _lp_round
+    from pagerank_spark.util import static_plan
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = spark.range(2000, numPartitions=4).select(
+        (F.col("id") % 100).alias("a"), ((F.col("id") * 13) % 100).alias("b")
+    )
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .repartition("b")
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    und.count()
+    labels0 = spark.range(100, numPartitions=4).select(
+        "id", F.col("id").alias("label")
+    )
+    with static_plan(spark):
+        labels = labels0.repartition("id").localCheckpoint(eager=True)
+
+    sh, _bc = _exchanges(_lp_round(und, labels, big=True))
+    assert sh == 1, f"big LP round planned {sh} shuffle exchanges, want 1"
+
+    # chained round off a fresh statically-checkpointed result: still 1
+    with static_plan(spark):
+        nxt = _lp_round(und, labels, big=True).localCheckpoint(eager=True)
+    sh2, _bc2 = _exchanges(_lp_round(und, nxt, big=True))
+    assert sh2 == 1, f"chained big LP round planned {sh2} exchanges, want 1"
+    und.unpersist()
+
+
 def test_cached_repartition_feeds_exchange_free_aggregation(spark):
     """The label-propagation round contract: an edge table cached as
     repartition("a") keeps its outputPartitioning through a broadcast join,
