@@ -1,11 +1,15 @@
 #!/usr/bin/env python
 """At-scale smokes (not part of the per-round bench: minutes-long).
 
-Run:  python bench_smoke.py [triangles|ngram|all]
+Run:  python bench_smoke.py [triangles|ngram|labelprop|all]
 
 - triangles: exact triangle count at 10M vertices / 30M edges on local[32]
   (the hint gate flips to shuffle_hash joins here) — proves the
   degree-ordered plan completes without OOM and records wall time.
+- labelprop: 2 fixed LP rounds at 4M vertices / 16M edges — above the
+  broadcast gate, so this exercises the big-graph 1-exchange round (the
+  statically-checkpointed labels keep hash(id); see _lp_round). label_sum
+  is a determinism fingerprint comparable across code versions.
 - ngram: capped n-gram Jaccard at 50k docs where EVERY doc shares a planted
   boilerplate prefix (the f^2 inverted-index blowup case). Records wall
   time, candidate-pair count, and final pair count, and asserts the
@@ -149,6 +153,32 @@ def smoke_ngram_capped(spark, n_docs_target=50_000):
     }
 
 
+def smoke_labelprop_big(spark, n_vertices=4_000_000, n_edges=16_000_000):
+    from pagerank_spark.algorithms.labelprop import label_propagation
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    edges = synthetic_edges(
+        spark, n_vertices, n_edges, seed=44, num_partitions=32
+    ).persist()
+    edges.count()
+    verts = spark.range(n_vertices)
+    t0 = time.time()
+    labels = label_propagation(edges, verts, max_iter=2, check_convergence=False)
+    row = labels.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("label").alias("label_sum")
+    ).first()
+    wall = time.time() - t0
+    edges.unpersist()
+    return {
+        "smoke": "labelprop_big_2rounds",
+        "n_vertices": n_vertices,
+        "n_edges": n_edges,
+        "rows": int(row["rows"]),
+        "label_sum": int(row["label_sum"]),
+        "wall_s": round(wall, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from pagerank_spark.session import get_spark
@@ -157,6 +187,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if which in ("triangles", "all"):
         print(json.dumps(smoke_triangles(spark)))
+    if which in ("labelprop", "all"):
+        print(json.dumps(smoke_labelprop_big(spark)))
     if which in ("ngram", "all"):
         print(json.dumps(smoke_ngram_capped(spark)))
     spark.stop()
