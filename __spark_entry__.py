@@ -2,7 +2,7 @@
 
 Each ``queries()`` entry exercises a pagerank_spark engine operator
 (SURVEY.md §2) over the driver-provided parquet tables; ``oracle_sql()``
-holds the DuckDB-equivalent ANSI SQL — 27 of the 28 queries have an exact
+holds the DuckDB-equivalent ANSI SQL — 28 of the 29 queries have an exact
 oracle, including converged PageRank (unrolled iterations + the eps-stop rule
 applied in SQL), MinHash+LSH (permutation constants embedded as literals),
 SimHash (md5 bit arithmetic), rolling-hash fingerprints (HUGEINT Horner),
@@ -379,6 +379,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def windowed_event_stats(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.streaming.stats import windowed_counts
+
+        # the streaming module's event-time tumbling-window operator run on
+        # the batch events table (withWatermark is a no-op in batch — same
+        # code path as the stream); ts is TIMESTAMP_NTZ, so the window start
+        # is emitted as a formatted naive string (timezone-proof both sides)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return windowed_counts(
+            ev, "ts", F.col("event_type").alias("event_type"),
+            window="1 hour", watermark="2 hours", count_alias="n_events",
+        ).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+
     def media_features(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.functions.multimodal import (
@@ -422,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": top_customers,
         "pricing_summary": pricing_summary,
         "user_event_stats": user_event_stats,
+        "windowed_event_stats": windowed_event_stats,
         "media_features": media_features,
     }
 
@@ -843,5 +862,10 @@ SELECT user_id, COUNT(*) AS n_events,
        COUNT(DISTINCT event_type) AS n_types,
        CAST(ROUND(SUM(value) * 1e4) AS BIGINT) AS sum_value_e4
 FROM events GROUP BY user_id
+""",
+        "windowed_event_stats": """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
 """,
     }
