@@ -2,7 +2,7 @@
 
 Each ``queries()`` entry exercises a pagerank_spark engine operator
 (SURVEY.md §2) over the driver-provided parquet tables; ``oracle_sql()``
-holds the DuckDB-equivalent ANSI SQL — 28 of the 29 queries have an exact
+holds the DuckDB-equivalent ANSI SQL — 29 of the 30 queries have an exact
 oracle, including converged PageRank (unrolled iterations + the eps-stop rule
 applied in SQL), MinHash+LSH (permutation constants embedded as literals),
 SimHash (md5 bit arithmetic), rolling-hash fingerprints (HUGEINT Horner),
@@ -10,8 +10,11 @@ and the ANN paths: ``dedup_embedding_lsh`` and ``knn_lsh`` are
 deterministically identical to their exact twins on the planted-near-dup
 corpus at the wide-band multi-probe defaults (full equality oracles), and
 ``knn_ivf`` returns a self-validating recall-vs-exact summary row whose
->=0.9 bound the oracle pins. Rows-only by design: only ``media_features``
-(binary payloads can't be synthesized in SQL).
+>=0.9 bound the oracle pins. The media codecs get the same treatment:
+``media_roundtrip`` re-encodes the raw decode of every genuine BMP/WAV/Y4M
+payload and the oracle pins byte-identity + container-length counts per
+kind. Rows-only by design: only ``media_features`` (the payload bytes and
+PRNG pixel content can't be synthesized in SQL).
 
 Graph queries derive a deterministic 200-vertex link graph from ``orders``
 (src = o_custkey % 200, dst = o_orderkey % 200, distinct) so the Spark and
@@ -412,6 +415,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("mean_intensity") * 1e6).cast("long").alias("intensity_e6"),
         )
 
+    def media_roundtrip(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.functions.multimodal import (
+            generate_real_media,
+            roundtrip_media,
+        )
+
+        # self-validating codec check (payload BYTES aren't SQL-synthesizable,
+        # but the verdict counts are SQL-pinnable): every genuine BMP / WAV /
+        # Y4M payload must (a) satisfy the closed-form container-length
+        # formula on its DECODED dimensions and (b) re-encode byte-identically
+        # from the raw decode — proving encode/decode are exact inverses
+        media = generate_real_media(spark, 120, seed=42)
+        return (
+            roundtrip_media(media)
+            .groupBy("kind")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_media"),
+                F.sum("len_ok").cast("int").alias("n_len_ok"),
+                F.sum("roundtrip_ok").cast("int").alias("n_roundtrip_ok"),
+            )
+        )
+
     return {
         "outdegree": outdegree,
         "top_indegree": top_indegree,
@@ -442,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_stats": user_event_stats,
         "windowed_event_stats": windowed_event_stats,
         "media_features": media_features,
+        "media_roundtrip": media_roundtrip,
     }
 
 
@@ -791,6 +818,13 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 1
         f"SELECT CAST({N_QUERIES} AS INTEGER) AS n_queries, "
         f"CAST({K_NN} AS INTEGER) AS k, CAST(1 AS INTEGER) AS recall_ge_090"
     )
+    # 120 media ids round-robin image/audio/video -> 40 each; the Spark side
+    # must find every payload length-consistent AND byte-exact on re-encode
+    MEDIA_RT = (
+        "SELECT kind, CAST(n AS INTEGER) AS n_media, "
+        "CAST(n AS INTEGER) AS n_len_ok, CAST(n AS INTEGER) AS n_roundtrip_ok "
+        "FROM (VALUES ('image', 40), ('audio', 40), ('video', 40)) AS t(kind, n)"
+    )
     return {
         "outdegree": f"SELECT src AS id, COUNT(*) AS outdeg FROM ({E}) GROUP BY src",
         "top_indegree": (
@@ -868,4 +902,5 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wind
        event_type, COUNT(*) AS n_events
 FROM events GROUP BY 1, 2
 """,
+        "media_roundtrip": MEDIA_RT,
     }

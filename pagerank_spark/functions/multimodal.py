@@ -305,3 +305,130 @@ def sample_frames(media: DataFrame, every: int = 2, fake: bool = False) -> DataF
     return media.select("media_id", "payload").mapInPandas(
         gen, "media_id long, frame_idx int, frame binary"
     )
+
+# ------------------------------------------------------- lossless round-trip
+# Raw (lossless) decoders: unlike _decode_* above — which emit grayscale
+# analysis frames — these recover the EXACT encoder inputs, so
+# re-encoding must reproduce the payload byte-for-byte. That makes
+# encode/decode a provable inverse pair, checkable by a pinned SQL oracle
+# (the payload bytes themselves are not SQL-synthesizable).
+
+
+def _raw_bmp(b: bytes) -> np.ndarray:
+    """BMP bytes -> (h, w, 3) uint8 RGB, top-down (make_bmp's input shape)."""
+    _magic, _fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", b, 0)
+    _hdr, w, h_signed, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, np.uint8, row_bytes * h, off).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()
+
+
+def _raw_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> ((channels, n) int16 samples, sample_rate)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, ch, rate, data = 12, None, None, None
+    while pos + 8 <= len(b):
+        cid, sz = struct.unpack_from("<4sI", b, pos)
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt, ch, rate, _bps, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(f"WAV fmt={fmt} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if not ch or data is None:
+        raise ValueError("malformed WAV")
+    return np.frombuffer(data, "<i2").reshape(-1, ch).T.copy(), int(rate)
+
+
+def _raw_y4m(b: bytes) -> tuple[np.ndarray, int]:
+    """Y4M bytes -> ((n_frames, h, w) uint8 luma, fps). C420 with neutral
+    chroma only (what make_y4m writes); non-neutral chroma is not lossless
+    for the luma-only re-encoder, so it raises."""
+    nl = b.index(b"\n")
+    params = b[:nl].decode().split()
+    w = h = fps = None
+    for p in params[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("F"):
+            fps = int(p[1:].split(":")[0])
+    if not w or not h or not fps:
+        raise ValueError("malformed y4m header")
+    cw, chh = w // 2, h // 2
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.index(b"\n", pos)
+        y = np.frombuffer(b, np.uint8, w * h, fnl + 1).reshape(h, w)
+        uv = np.frombuffer(b, np.uint8, 2 * cw * chh, fnl + 1 + w * h)
+        if not (uv == 128).all():
+            raise NotImplementedError("non-neutral chroma: luma round-trip only")
+        frames.append(y)
+        pos = fnl + 1 + w * h + 2 * cw * chh
+    return np.stack(frames), fps
+
+
+def _container_len(kind: str, w: int, h: int, fr: int) -> int:
+    """Closed-form byte length of a payload our encoders produce for the
+    given decoded dimensions — an arithmetic cross-check on the decode,
+    independent of pixel/sample content."""
+    if kind == "image":
+        return 54 + ((w * 3 + 3) & ~3) * h
+    if kind == "audio":
+        return 44 + 2 * h * w  # h = channels, w = samples/channel
+    head = len(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n")
+    return head + fr * (6 + w * h + 2 * (w // 2) * (h // 2))
+
+
+def roundtrip_media(media: DataFrame) -> DataFrame:
+    """(media_id, payload, ...) -> per-item round-trip verdicts.
+
+    Emits (media_id, kind, byte_len, len_ok, roundtrip_ok):
+
+    - ``len_ok``: len(payload) equals the closed-form container-length
+      formula evaluated on the DECODED dimensions,
+    - ``roundtrip_ok``: re-encoding the raw decode (exact pixels/samples,
+      not the grayscale analysis frames) reproduces the payload
+      byte-for-byte.
+
+    Any decode failure yields ok=0 rather than raising, so corrupt
+    payloads surface as counts, not job failures.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                b = bytes(payload)
+                try:
+                    kind, w, h, fr, _ = _decode_payload(b, allow_fake=False)
+                    len_ok = len(b) == _container_len(kind, w, h, fr)
+                    if kind == "image":
+                        enc = make_bmp(_raw_bmp(b))
+                    elif kind == "audio":
+                        enc = make_wav(*_raw_wav(b))
+                    else:
+                        enc = make_y4m(*_raw_y4m(b))
+                    rt_ok = enc == b
+                except (ValueError, NotImplementedError, struct.error):
+                    kind, len_ok, rt_ok = "invalid", False, False
+                rows.append((int(mid), kind, len(b), int(len_ok), int(rt_ok)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "byte_len", "len_ok", "roundtrip_ok"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, "media_id long, kind string, byte_len long, len_ok int, roundtrip_ok int"
+    )
