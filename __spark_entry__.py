@@ -167,6 +167,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.col("count").alias("n_triangles")
         )
 
+    def hits_3iter(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import hits
+
+        res = hits(_edges(spark, sf), _verts(spark), max_iter=3)
+        return res.scores.select(
+            "id",
+            F.round(F.col("hub") * 1e6).cast("long").alias("hub_e6"),
+            F.round(F.col("auth") * 1e6).cast("long").alias("auth_e6"),
+        )
+
+    def pagerank_personalized(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import personalized_pagerank
+
+        seeds = spark.range(0, 10).select(F.col("id").cast("long"))
+        ranks = personalized_pagerank(
+            _edges(spark, sf), N_VERTS, seeds, max_iter=3, eps=0.0
+        )
+        return ranks.select(
+            "id", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
+        )
+
+    def clustering_coefficient(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import clustering_coefficients
+
+        return clustering_coefficients(_edges(spark, sf)).select(
+            "id",
+            "degree",
+            "n_triangles",
+            F.round(F.col("cc") * 1e6).cast("long").alias("cc_e6"),
+        )
+
     def dedup_exact(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.pipeline.dedup import exact_dedup
@@ -449,6 +483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": labelprop,
         "triangle_count_global": tri_global,
         "triangles_per_vertex": tri_per_vertex,
+        "hits_3iter": hits_3iter,
+        "pagerank_personalized": pagerank_personalized,
+        "clustering_coefficient": clustering_coefficient,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
@@ -763,6 +800,74 @@ WHERE len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i])) / 128.0 >= 0.4
         f"SELECT id, CAST(ROUND(r / (SELECT SUM(ABS(r)) FROM fin) * 1e6) AS BIGINT) "
         f"AS rank_e6 FROM fin"
     )
+    # ---- HITS, 3 synchronous iterations unrolled (engine semantics:
+    # auth' = normalize_L1(A^T hub), then hub' = normalize_L1(A auth'),
+    # init hub = 1; vertices without in/out edges get 0)
+    hits_iters = []
+    for k in range(1, 4):
+        hp = f"h{k-1}"
+        hits_iters.append(
+            f"a{k}r AS (SELECT e.dst AS id, SUM(p.h) AS ar FROM e "
+            f"JOIN {hp} p ON p.id = e.src GROUP BY e.dst),\n"
+            f"a{k} AS MATERIALIZED (SELECT v.id, "
+            f"COALESCE(a{k}r.ar, 0) / (SELECT SUM(ar) FROM a{k}r) AS a "
+            f"FROM v LEFT JOIN a{k}r ON a{k}r.id = v.id),\n"
+            f"h{k}r AS (SELECT e.src AS id, SUM(a{k}.a) AS hr FROM e "
+            f"JOIN a{k} ON a{k}.id = e.dst GROUP BY e.src),\n"
+            f"h{k} AS MATERIALIZED (SELECT v.id, "
+            f"COALESCE(h{k}r.hr, 0) / (SELECT SUM(hr) FROM h{k}r) AS h "
+            f"FROM v LEFT JOIN h{k}r ON h{k}r.id = v.id)"
+        )
+    HITS3 = (
+        f"WITH e AS MATERIALIZED ({E}), v AS MATERIALIZED ({V}),\n"
+        f"h0 AS (SELECT id, 1.0 AS h FROM v),\n"
+        + ",\n".join(hits_iters)
+        + "\nSELECT h3.id, CAST(ROUND(h3.h * 1e6) AS BIGINT) AS hub_e6, "
+        "CAST(ROUND(a3.a * 1e6) AS BIGINT) AS auth_e6 "
+        "FROM h3 JOIN a3 ON a3.id = h3.id"
+    )
+    # ---- personalized PageRank, 3 unrolled iterations (teleport vector
+    # v = 1/10 on seed ids 0..9, 0 elsewhere; dangling mass re-teleports to
+    # the seeds: r' = c*(P^T r + dm*v) + (1-c)*total*v, r0 = v)
+    ppr_iters = []
+    for k in range(1, 4):
+        p = f"p{k-1}"
+        ppr_iters.append(
+            f"pdm{k-1} AS (SELECT COALESCE(SUM(p.r), 0) AS dm FROM {p} p "
+            f"LEFT JOIN deg ON deg.id = p.id WHERE deg.id IS NULL),\n"
+            f"ptm{k-1} AS (SELECT SUM(r) AS tm FROM {p}),\n"
+            f"pc{k} AS (SELECT e.dst AS id, SUM(p.r / deg.outdeg) AS contrib "
+            f"FROM e JOIN {p} p ON p.id = e.src JOIN deg ON deg.id = e.src "
+            f"GROUP BY e.dst),\n"
+            f"p{k} AS MATERIALIZED (SELECT vt.id, vt.t, "
+            f"0.85 * (COALESCE(pc{k}.contrib, 0) + (SELECT dm FROM pdm{k-1}) * vt.t) "
+            f"+ 0.15 * (SELECT tm FROM ptm{k-1}) * vt.t AS r "
+            f"FROM vt LEFT JOIN pc{k} ON pc{k}.id = vt.id)"
+        )
+    PPR3 = (
+        f"WITH e AS MATERIALIZED ({E}), v AS MATERIALIZED ({V}),\n"
+        f"deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src),\n"
+        f"vt AS MATERIALIZED (SELECT id, CASE WHEN id < 10 THEN 0.1 ELSE 0.0 END AS t FROM v),\n"
+        f"p0 AS (SELECT id, t, t AS r FROM vt),\n"
+        + ",\n".join(ppr_iters)
+        + "\nSELECT id, CAST(ROUND(r / (SELECT SUM(ABS(r)) FROM p3) * 1e6) AS BIGINT) "
+        "AS rank_e6 FROM p3"
+    )
+    # ---- local clustering coefficient: cc(v) = 2*T(v) / (d*(d-1)) over the
+    # undirected simple graph (same canonical edge set TRI builds on)
+    CLUSTER = (
+        f"WITH u AS ({UND}), t AS ({TRI}),\n"
+        "deg AS (SELECT id, COUNT(*) AS degree FROM "
+        "(SELECT a AS id FROM u UNION ALL SELECT b FROM u) GROUP BY id),\n"
+        "corners AS (SELECT x AS id FROM t UNION ALL SELECT y FROM t "
+        "UNION ALL SELECT z FROM t),\n"
+        "pv AS (SELECT id, COUNT(*) AS n FROM corners GROUP BY id)\n"
+        "SELECT deg.id, deg.degree, COALESCE(pv.n, 0) AS n_triangles, "
+        "CAST(ROUND(CASE WHEN deg.degree >= 2 "
+        "THEN 2.0 * COALESCE(pv.n, 0) / (deg.degree * (deg.degree - 1)) "
+        "ELSE 0.0 END * 1e6) AS BIGINT) AS cc_e6 "
+        "FROM deg LEFT JOIN pv ON pv.id = deg.id"
+    )
     # ---- exact embedding near-dup pairs over base + planted vectors
     # (mirrors _emb_with_planted: vec_id < 25 re-inserted at id+1e6 with
     # element 0 shifted +0.01)
@@ -855,6 +960,9 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 1
             f"(SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) "
             f"SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id"
         ),
+        "hits_3iter": HITS3,
+        "pagerank_personalized": PPR3,
+        "clustering_coefficient": CLUSTER,
         "dedup_exact": (
             "SELECT keep_id, COUNT(*) AS group_size FROM "
             "(SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id "

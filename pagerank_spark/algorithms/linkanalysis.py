@@ -1,0 +1,322 @@
+"""Link-analysis extensions beyond the reference surface: HITS
+(hubs/authorities), personalized (topic-sensitive) PageRank, and local
+clustering coefficients.
+
+The reference engine (/root/reference/Pagerank/src/pagerank32c.c:893-946)
+computes only uniform-teleport PageRank; these operators round out the
+link-graph analytics surface a Common-Crawl-scale engine needs, re-using
+the same execution discipline the audited PageRank/label-propagation loops
+established (PLANS.md "statically planned checkpoints"):
+
+- state checkpoints are compiled under ``util.static_plan`` so the
+  LogicalRDD keeps its hash(id) partitioning and each iteration plans ONE
+  shuffle exchange (the contribution aggregation);
+- O(V)-sized join sides are broadcast below ``util.BROADCAST_SAFE_ROWS``
+  vertices and forced to shuffle-hash joins above it (the auto-broadcast
+  driver-OOM hazard class, PLANS.md);
+- nothing O(V) or O(E) is ever collected to the driver.
+
+All three operators are deterministic (fixed iteration counts or exact
+closed forms) so they carry full DuckDB SQL oracles in
+``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_spark import util as _util
+
+
+@dataclass
+class HitsResult:
+    scores: DataFrame  # (id: long, hub: double, auth: double)
+    iterations: int
+    iter_seconds: list[float] = field(default_factory=list)
+
+
+def hits(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 5,
+) -> HitsResult:
+    """HITS (Kleinberg) hubs-and-authorities over a directed edge table.
+
+    ``edges``: (src, dst) long; ``vertices``: (id) long — the full vertex
+    universe (vertices with no in-edges get auth 0, no out-edges hub 0).
+    Each iteration runs the two half-steps synchronously on the PREVIOUS
+    iteration's scores::
+
+        auth'(v) = sum_{u->v} hub(u)      then L1-normalize
+        hub'(u)  = sum_{u->v} auth'(v)    then L1-normalize
+
+    L1 normalization (scores are non-negative, so sum == L1) keeps the
+    fixed-iteration output deterministic and SQL-reproducible; the principal
+    eigenvector direction is the same as under L2.
+
+    Physical plan per half-step: one shuffle (the aggregation). The edge
+    cache is partitioned on the half-step's join key; the state checkpoint
+    keeps hash(id) via ``util.static_plan``, so the score join and the
+    update join are exchange-free (same contract as PageRank._df_iteration).
+    """
+    spark = edges.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_verts = _util.approx_vertex_count(edges)
+
+    def no_bcast(df: DataFrame) -> DataFrame:
+        return df if n_verts <= _util.BROADCAST_SAFE_ROWS else df.hint("shuffle_hash")
+
+    # two cached layouts of the same edges: hub-side join consumes hash(src),
+    # auth-side join consumes hash(dst) — one-time cost, reused every
+    # iteration (the PageRank ew recipe, once per direction)
+    e_src = edges.repartition(shuffle_p, "src").persist()
+    e_dst = edges.repartition(shuffle_p, "dst").persist()
+    e_src.count(), e_dst.count()
+
+    with _util.static_plan(spark):
+        state = (
+            vertices.select(
+                F.col("id").cast("long").alias("id"),
+                F.lit(1.0).alias("hub"),
+                F.lit(1.0).alias("auth"),
+            )
+            .repartition(shuffle_p, "id")
+            .localCheckpoint(eager=True)
+        )
+
+    iter_secs: list[float] = []
+    for _ in range(max_iter):
+        t0 = time.time()
+        # auth half-step: contributions keyed by dst
+        a_raw = (
+            e_src.join(no_bcast(state.select("id", "hub")), e_src.src == F.col("id"))
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        auth = state.join(no_bcast(a_raw), state.id == a_raw.dst, "left").select(
+            state.id,
+            "hub",
+            F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("a_raw"),
+        )
+        with _util.static_plan(spark):
+            auth = auth.repartition(shuffle_p, "id").localCheckpoint(eager=True)
+        a_sum = float(auth.agg(F.sum("a_raw")).first()[0] or 0.0)
+        a_norm = a_sum if a_sum > 0 else 1.0
+
+        # hub half-step: consumes the just-normalized auth
+        h_raw = (
+            e_dst.join(
+                no_bcast(auth.select("id", (F.col("a_raw") / a_norm).alias("a"))),
+                e_dst.dst == F.col("id"),
+            )
+            .groupBy("src")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        new_state = auth.join(no_bcast(h_raw), auth.id == h_raw.src, "left").select(
+            auth.id,
+            F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("h_raw"),
+            (F.col("a_raw") / a_norm).alias("auth"),
+        )
+        with _util.static_plan(spark):
+            new_state = new_state.repartition(shuffle_p, "id").localCheckpoint(
+                eager=True
+            )
+        h_sum = float(new_state.agg(F.sum("h_raw")).first()[0] or 0.0)
+        h_norm = h_sum if h_sum > 0 else 1.0
+        state = new_state.select(
+            "id", (F.col("h_raw") / h_norm).alias("hub"), "auth"
+        )
+        with _util.static_plan(spark):
+            state = state.localCheckpoint(eager=True)
+        iter_secs.append(time.time() - t0)
+
+    e_src.unpersist()
+    e_dst.unpersist()
+    return HitsResult(state.select("id", "hub", "auth"), max_iter, iter_secs)
+
+
+def _ppr_iteration(ew, state, c: float, dmass: float, total: float, no_bcast):
+    """One personalized power-iteration step as a DataFrame plan.
+
+    Same single-exchange contract as PageRank._df_iteration: the
+    contribution join consumes ew's hash(src) x the state checkpoint's
+    hash(id), the aggregation is the one shuffle, and the rank-update left
+    join consumes hash(id) x hash(dst). Audited by
+    tests/test_plans.py::test_ppr_iteration_single_exchange."""
+    joined = ew.join(no_bcast(state.select("id", "rank")), ew.src == F.col("id"))
+    contribs = joined.groupBy("dst").agg(
+        F.sum(F.col("rank") * F.col("w")).alias("contrib")
+    )
+    return (
+        state.join(no_bcast(contribs), state.id == contribs.dst, "left")
+        .select(
+            state.id,
+            (
+                F.lit(c)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(dmass) * F.col("tele")
+                )
+                + F.lit((1.0 - c) * total) * F.col("tele")
+            ).alias("rank"),
+            state.rank.alias("old_rank"),
+            "tele",
+            "non_dangling",
+        )
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    n: int,
+    seeds: DataFrame,
+    c: float = 0.85,
+    max_iter: int = 20,
+    eps: float = 0.0,
+) -> DataFrame:
+    """Topic-sensitive PageRank: teleport lands on ``seeds`` instead of
+    uniformly (Haveliwala 2002). ``seeds``: (id) long, non-empty.
+
+    Semantics mirror the engine's uniform path
+    (pagerank.py._df_iteration; reference
+    /root/reference/Pagerank/src/pagerank32c.c:907-917) with the uniform
+    vector 1/n replaced by v(id) = 1/|S| on the seed set and 0 elsewhere::
+
+        r0 = v
+        r' = c * (P^T r + dangling_mass * v) + (1-c) * total * v
+
+    i.e. dangling mass re-teleports to the seeds too, so sum(r) stays 1 and
+    scores are a probability distribution concentrated around the seeds.
+    Returns (id, rank) L1-normalized, for every vertex in [0, n).
+
+    Physical cost: ONE shuffle per iteration (the contribution aggregation)
+    — the edge cache carries hash(src), the state checkpoint keeps hash(id)
+    (``util.static_plan``), and the teleport column rides in the state so
+    the update join needs no extra v lookup.
+    """
+    spark = edges.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def no_bcast(df: DataFrame) -> DataFrame:
+        return df if n <= _util.BROADCAST_SAFE_ROWS else df.hint("shuffle_hash")
+
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+
+    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = (
+        edges.join(no_bcast(degrees), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .repartition(shuffle_p, "src")
+        .persist()
+    )
+    ew.count()
+
+    src_ids = degrees.select(F.col("src").alias("id"))
+    seed_ids = seeds.select(F.col("id").cast("long").alias("id")).withColumn(
+        "s", F.lit(True)
+    )
+    # state: (id, rank, tele, non_dangling); tele = v(id), carried as a
+    # column so each iteration's rank update is join-free on the v side
+    with _util.static_plan(spark):
+        state = (
+            spark.range(0, n, 1, shuffle_p)
+            .join(no_bcast(src_ids.withColumn("nd", F.lit(True))), "id", "left")
+            .join(no_bcast(seed_ids), "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("nd"), F.lit(False)).alias("non_dangling"),
+                F.when(F.coalesce(F.col("s"), F.lit(False)), 1.0 / n_seeds)
+                .otherwise(0.0)
+                .alias("tele"),
+            )
+            .withColumn("rank", F.col("tele"))
+            .repartition(shuffle_p, "id")
+            .localCheckpoint(eager=True)
+        )
+
+    init = state.agg(
+        F.sum(F.when(~F.col("non_dangling"), F.col("rank"))).alias("dmass"),
+        F.sum("rank").alias("total"),
+    ).first()
+    dmass = float(init["dmass"] or 0.0)
+    total = float(init["total"])
+
+    for _ in range(max_iter):
+        with _util.static_plan(spark):
+            new_state = _ppr_iteration(
+                ew, state, c, dmass, total, no_bcast
+            ).localCheckpoint(eager=True)
+        stats = new_state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+            F.sum(F.when(~F.col("non_dangling"), F.col("rank"))).alias("dmass"),
+            F.sum("rank").alias("total"),
+        ).first()
+        dmass = float(stats["dmass"] or 0.0)
+        total = float(stats["total"])
+        state = new_state.select("id", "rank", "tele", "non_dangling")
+        if float(stats["delta"]) < eps:
+            break
+
+    ew.unpersist()
+    norm = state.agg(F.sum(F.abs(F.col("rank")))).first()[0]
+    return state.select("id", (F.col("rank") / F.lit(float(norm))).alias("rank"))
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected simple
+    graph: cc(v) = 2*T(v) / (d(v)*(d(v)-1)) with T(v) the triangles through
+    v (exact, from the degree-ordered wedge join) and d(v) the distinct
+    undirected neighbor count; vertices of degree < 2 get 0.
+
+    Returns (id, degree, n_triangles, cc). Cost: the triangle job (see
+    triangles.py — zero-exchange wedge self-join off one persisted pivot
+    partitioning) plus one distinct-neighbor aggregation; the final joins
+    are on O(V) tables and size-gate their join strategy like every other
+    graph operator.
+    """
+    from pagerank_spark.algorithms.triangles import triangle_counts_per_vertex
+
+    # canonical undirected simple edges (same form triangles._oriented uses:
+    # (lo, hi) distinct, self-loops dropped); one exchange on `a` serves the
+    # dedup and the degree explode's map-side partials
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        canon.select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    n_verts = _util.approx_vertex_count(edges)
+    tri = triangle_counts_per_vertex(edges)
+
+    def no_bcast(df: DataFrame) -> DataFrame:
+        return df if n_verts <= _util.BROADCAST_SAFE_ROWS else df.hint("shuffle_hash")
+
+    return (
+        deg.join(no_bcast(tri.withColumnRenamed("count", "n_triangles")), "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(0.0)
+            .alias("cc"),
+        )
+    )

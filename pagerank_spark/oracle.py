@@ -143,3 +143,75 @@ def triangles_numpy(edges: np.ndarray, n: int) -> tuple[int, np.ndarray]:
                     per[v] += 1
                     per[w] += 1
     return total, per
+
+
+def hits_numpy(
+    edges: np.ndarray, n: int, max_iter: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
+    """HITS with per-half-step L1 normalization (linkanalysis.hits
+    semantics): init hub = 1; auth' = normalize(A^T hub); hub' =
+    normalize(A auth'). Returns (hub, auth)."""
+    A = np.zeros((n, n))
+    for u, v in np.asarray(edges, dtype=np.int64):
+        A[int(u), int(v)] = 1.0
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(max_iter):
+        a = A.T @ h
+        s = a.sum()
+        if s > 0:
+            a = a / s
+        h = A @ a
+        s = h.sum()
+        if s > 0:
+            h = h / s
+    return h, a
+
+
+def personalized_pagerank_numpy(
+    edges: np.ndarray,
+    n: int,
+    seeds: list[int],
+    c: float = 0.85,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Fixed-iteration topic-sensitive PageRank
+    (linkanalysis.personalized_pagerank semantics): r0 = v,
+    r' = c*(P^T r + dangling_mass*v) + (1-c)*total*v, final L1 normalize."""
+    arr = np.asarray(edges, dtype=np.int64)
+    v = np.zeros(n)
+    v[list(seeds)] = 1.0 / len(seeds)
+    outdeg = np.zeros(n, dtype=np.int64)
+    for u, _ in arr:
+        outdeg[int(u)] += 1
+    r = v.copy()
+    for _ in range(max_iter):
+        dm = r[outdeg == 0].sum()
+        total = r.sum()
+        nxt = np.zeros(n)
+        for u, w in arr:
+            nxt[int(w)] += r[int(u)] / outdeg[int(u)]
+        r = c * (nxt + dm * v) + (1.0 - c) * total * v
+    s = np.abs(r).sum()
+    return r / s if s else r
+
+
+def clustering_numpy(edges: np.ndarray, n: int) -> dict[int, tuple[int, int, float]]:
+    """Per-vertex (degree, n_triangles, cc) over the simple undirected
+    graph; only vertices with >= 1 neighbor appear (matching
+    linkanalysis.clustering_coefficients' edge-derived output)."""
+    adj: list[set[int]] = [set() for _ in range(n)]
+    for u, v in np.asarray(edges, dtype=np.int64):
+        u, v = int(u), int(v)
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    _, per = triangles_numpy(edges, n)
+    out: dict[int, tuple[int, int, float]] = {}
+    for i in range(n):
+        d = len(adj[i])
+        if d == 0:
+            continue
+        cc = 2.0 * per[i] / (d * (d - 1)) if d >= 2 else 0.0
+        out[i] = (d, int(per[i]), cc)
+    return out

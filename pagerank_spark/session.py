@@ -63,6 +63,17 @@ def get_spark(
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "268435456")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
         .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
+        # Heartbeat resilience: on this hypervisor-stalled host (22s+ soft
+        # lockups under 32-way load) the executor->driver heartbeat RPC can
+        # fail repeatedly during a long pack/UDF stage (observed:
+        # RpcEndpointNotFoundException every interval until the executor
+        # self-terminated at 60 misses, killing a healthy 2B-edge job). A
+        # missed heartbeat in local mode carries no liveness information —
+        # executor and driver share the process — so tolerate long outages
+        # rather than suiciding mid-stage.
+        .config("spark.executor.heartbeatInterval", "20s")
+        .config("spark.executor.heartbeat.maxFailures", "1000")
+        .config("spark.network.timeout", "600s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -125,3 +125,71 @@ def test_vertex_gated_shuffle_hints(spark, monkeypatch, algo):
     monkeypatch.setattr(util, "BROADCAST_SAFE_ROWS", 2_000_000)
     run()
     assert calls.count("shuffle_hash") == 0
+
+
+# --------------------------------------------------- linkanalysis operators
+@pytest.mark.parametrize("name", ["chain_8", "star_hub", "complete_6", "two_islands"])
+def test_hits_exact(spark, name):
+    from pagerank_spark.algorithms.linkanalysis import hits
+    from pagerank_spark.oracle import hits_numpy
+
+    arr, n = micro_graphs()[name]
+    res = hits(edges_from_numpy(spark, arr), vertices_df(spark, n), max_iter=3)
+    got = {r["id"]: (r["hub"], r["auth"]) for r in res.scores.collect()}
+    h, a = hits_numpy(arr, n, max_iter=3)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert abs(got[i][0] - h[i]) < 1e-12
+        assert abs(got[i][1] - a[i]) < 1e-12
+
+
+@pytest.mark.parametrize("name", ["chain_8", "cycle_8", "star_hub", "two_islands"])
+def test_personalized_pagerank_exact(spark, name):
+    from pagerank_spark.algorithms.linkanalysis import personalized_pagerank
+    from pagerank_spark.oracle import personalized_pagerank_numpy
+
+    arr, n = micro_graphs()[name]
+    seeds = [0, 1]
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "id long")
+    ranks = personalized_pagerank(
+        edges_from_numpy(spark, arr), n, seeds_df, max_iter=4
+    )
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    exp = personalized_pagerank_numpy(arr, n, seeds, max_iter=4)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert abs(got[i] - exp[i]) < 1e-12
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    # teleport mass lands only on seeds: on two disconnected triangles,
+    # seeding island A must leave island B with zero rank
+    from pagerank_spark.algorithms.linkanalysis import personalized_pagerank
+
+    arr, n = micro_graphs()["two_islands"]
+    seeds_df = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(
+            edges_from_numpy(spark, arr), n, seeds_df, max_iter=6
+        ).collect()
+    }
+    assert sum(got[i] for i in (0, 1, 2)) > 0.999
+    assert all(got[i] == 0.0 for i in (3, 4, 5))
+
+
+@pytest.mark.parametrize("name", ["complete_6", "two_islands", "test1_mirror"])
+def test_clustering_coefficients_exact(spark, name):
+    from pagerank_spark.algorithms.linkanalysis import clustering_coefficients
+    from pagerank_spark.oracle import clustering_numpy
+
+    arr, n = micro_graphs()[name]
+    got = {
+        r["id"]: (r["degree"], r["n_triangles"], r["cc"])
+        for r in clustering_coefficients(edges_from_numpy(spark, arr)).collect()
+    }
+    exp = clustering_numpy(arr, n)
+    assert set(got) == set(exp)
+    for i, (d, t, cc) in exp.items():
+        assert got[i][0] == d and got[i][1] == t
+        assert abs(got[i][2] - cc) < 1e-12

@@ -278,3 +278,57 @@ def test_cached_repartition_feeds_exchange_free_aggregation(spark):
     head = plan.split("InMemoryRelation")[0]
     assert "Exchange hashpartitioning" not in head
     part.unpersist()
+
+
+def test_ppr_iteration_single_exchange(spark):
+    """Personalized PageRank keeps the uniform path's 1-shuffle/iter
+    contract: contribution join consumes ew's hash(src) x the state
+    checkpoint's hash(id); the aggregation is the only exchange; the
+    rank-update left join consumes hash(id) x hash(dst)."""
+    from pagerank_spark.algorithms.linkanalysis import _ppr_iteration
+    from pagerank_spark.sources.synthetic import synthetic_edges
+    from pagerank_spark.util import static_plan
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = 300
+    edges = synthetic_edges(spark, n, 3000, seed=7, num_partitions=4)
+    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = (
+        edges.join(degrees.hint("shuffle_hash"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .repartition(p, "src")
+        .persist()
+    )
+    ew.count()
+    state0 = (
+        spark.range(0, n, 1, p)
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            F.when(F.col("id") < 5, 0.2).otherwise(0.0).alias("tele"),
+            F.lit(True).alias("non_dangling"),
+        )
+        .repartition(p, "id")
+    )
+    with static_plan(spark):
+        state = state0.localCheckpoint(eager=True)
+
+    def no_bcast(df):
+        return df.hint("shuffle_hash")
+
+    sh, _bc = _exchanges(_ppr_iteration(ew, state, 0.85, 0.0, 1.0, no_bcast))
+    assert sh == 1, f"ppr iteration planned {sh} shuffle exchanges, want 1"
+
+    # chained off the checkpointed result, as the run loop does
+    with static_plan(spark):
+        nxt = _ppr_iteration(ew, state, 0.85, 0.0, 1.0, no_bcast).localCheckpoint(
+            eager=True
+        )
+    sh2, _bc2 = _exchanges(
+        _ppr_iteration(
+            ew, nxt.select("id", "rank", "tele", "non_dangling"),
+            0.85, 0.0, 1.0, no_bcast,
+        )
+    )
+    assert sh2 == 1, f"chained ppr iteration planned {sh2} exchanges, want 1"
+    ew.unpersist()
