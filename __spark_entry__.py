@@ -2,9 +2,11 @@
 
 Each ``queries()`` entry exercises a pagerank_spark engine operator
 (SURVEY.md §2) over the driver-provided parquet tables; ``oracle_sql()``
-holds the DuckDB-equivalent ANSI SQL — 29 of the 30 queries have an exact
+holds the DuckDB-equivalent ANSI SQL — 33 of the 34 queries have an exact
 oracle, including converged PageRank (unrolled iterations + the eps-stop rule
-applied in SQL), MinHash+LSH (permutation constants embedded as literals),
+applied in SQL), HITS and personalized PageRank (unrolled iterations),
+multi-source BFS (recursive CTE), MinHash+LSH (permutation constants
+embedded as literals),
 SimHash (md5 bit arithmetic), rolling-hash fingerprints (HUGEINT Horner),
 and the ANN paths: ``dedup_embedding_lsh`` and ``knn_lsh`` are
 deterministically identical to their exact twins on the planted-near-dup
@@ -199,6 +201,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "degree",
             "n_triangles",
             F.round(F.col("cc") * 1e6).cast("long").alias("cc_e6"),
+        )
+
+    def bfs_from_seeds(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import bfs_distances
+
+        seeds = spark.range(0, 3).select(F.col("id").cast("long"))
+        return bfs_distances(_edges(spark, sf), seeds, max_hops=30).select(
+            "id", F.col("dist").cast("int").alias("dist")
         )
 
     def dedup_exact(spark, sf):
@@ -486,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_3iter": hits_3iter,
         "pagerank_personalized": pagerank_personalized,
         "clustering_coefficient": clustering_coefficient,
+        "bfs_from_seeds": bfs_from_seeds,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
@@ -868,6 +880,18 @@ WHERE len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i])) / 128.0 >= 0.4
         "ELSE 0.0 END * 1e6) AS BIGINT) AS cc_e6 "
         "FROM deg LEFT JOIN pv ON pv.id = deg.id"
     )
+    # ---- multi-source BFS hop distances (seeds 0..2, directed, <=30 hops):
+    # recursive frontier expansion; UNION dedups (id, d) states so the
+    # recursion terminates, MIN(d) collapses to the first-reached hop
+    BFS = (
+        f"WITH RECURSIVE e AS MATERIALIZED ({E}),\n"
+        "r(id, d) AS (\n"
+        "  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), (1, 0), (2, 0)) t(id, d)\n"
+        "  UNION\n"
+        "  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 30\n"
+        ")\n"
+        "SELECT id, CAST(MIN(d) AS INTEGER) AS dist FROM r GROUP BY id"
+    )
     # ---- exact embedding near-dup pairs over base + planted vectors
     # (mirrors _emb_with_planted: vec_id < 25 re-inserted at id+1e6 with
     # element 0 shifted +0.01)
@@ -961,6 +985,7 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 1
             f"SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id"
         ),
         "hits_3iter": HITS3,
+        "bfs_from_seeds": BFS,
         "pagerank_personalized": PPR3,
         "clustering_coefficient": CLUSTER,
         "dedup_exact": (

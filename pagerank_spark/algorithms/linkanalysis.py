@@ -320,3 +320,64 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             .alias("cc"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 30,
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source BFS hop distances: (id, dist) for every vertex reachable
+    from ``sources`` (id) within ``max_hops`` directed (or undirected) hops;
+    unreachable vertices are absent. dist = fewest edges from ANY source.
+
+    Frontier-based: per round, expand the frontier one hop, drop vertices
+    already settled (anti-join against the accumulated distance table), and
+    settle the rest. Each round costs one shuffle (the per-dst min) plus the
+    settled-set anti-join; the frontier and settled tables are checkpointed
+    under ``util.static_plan`` so both joins consume existing hash(id)
+    partitionings. State is O(reached vertices) — nothing driver-resident;
+    the loop stops on an empty frontier (count action per round) or at
+    ``max_hops``.
+    """
+    spark = edges.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_verts = _util.approx_vertex_count(edges)
+
+    def no_bcast(df: DataFrame) -> DataFrame:
+        return df if n_verts <= _util.BROADCAST_SAFE_ROWS else df.hint("shuffle_hash")
+
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.repartition(shuffle_p, "src").persist()
+    e.count()
+
+    with _util.static_plan(spark):
+        dist = (
+            sources.select(F.col("id").cast("long").alias("id"))
+            .distinct()
+            .withColumn("dist", F.lit(0))
+            .repartition(shuffle_p, "id")
+            .localCheckpoint(eager=True)
+        )
+    frontier = dist.select("id")
+
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(no_bcast(frontier), e.src == frontier.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.lit(hop).alias("dist"))
+        )
+        fresh = nxt.join(no_bcast(dist.select("id")), "id", "left_anti")
+        with _util.static_plan(spark):
+            fresh = fresh.repartition(shuffle_p, "id").localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            break
+        with _util.static_plan(spark):
+            dist = dist.union(fresh).localCheckpoint(eager=True)
+        frontier = fresh.select("id")
+
+    e.unpersist()
+    return dist

@@ -215,3 +215,32 @@ def clustering_numpy(edges: np.ndarray, n: int) -> dict[int, tuple[int, int, flo
         cc = 2.0 * per[i] / (d * (d - 1)) if d >= 2 else 0.0
         out[i] = (d, int(per[i]), cc)
     return out
+
+
+def bfs_numpy(
+    edges: np.ndarray,
+    n: int,
+    sources: list[int],
+    max_hops: int = 30,
+    directed: bool = True,
+) -> dict[int, int]:
+    """Multi-source BFS hop distances (linkanalysis.bfs_distances
+    semantics): {id: dist} for vertices reachable within max_hops."""
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for u, v in np.asarray(edges, dtype=np.int64):
+        adj[int(u)].append(int(v))
+        if not directed:
+            adj[int(v)].append(int(u))
+    dist = {int(s): 0 for s in sources}
+    frontier = list(dist)
+    hop = 0
+    while frontier and hop < max_hops:
+        hop += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    return dist

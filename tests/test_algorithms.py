@@ -193,3 +193,33 @@ def test_clustering_coefficients_exact(spark, name):
     for i, (d, t, cc) in exp.items():
         assert got[i][0] == d and got[i][1] == t
         assert abs(got[i][2] - cc) < 1e-12
+
+
+@pytest.mark.parametrize("name", ["chain_8", "star_hub", "two_islands", "test1_mirror"])
+@pytest.mark.parametrize("directed", [True, False])
+def test_bfs_distances_exact(spark, name, directed):
+    from pagerank_spark.algorithms.linkanalysis import bfs_distances
+    from pagerank_spark.oracle import bfs_numpy
+
+    arr, n = micro_graphs()[name]
+    sources = [0, 3]
+    src_df = spark.createDataFrame([(s,) for s in sources], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(
+            edges_from_numpy(spark, arr), src_df, directed=directed
+        ).collect()
+    }
+    assert got == bfs_numpy(arr, n, sources, directed=directed)
+
+
+def test_bfs_max_hops_truncates(spark):
+    from pagerank_spark.algorithms.linkanalysis import bfs_distances
+
+    arr, n = micro_graphs()["chain_8"]
+    src_df = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(edges_from_numpy(spark, arr), src_df, max_hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
