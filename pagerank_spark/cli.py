@@ -166,6 +166,70 @@ def cmd_labelprop(args) -> int:
     return 0
 
 
+def cmd_hits(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.linkanalysis import hits
+    from pagerank_spark.sources.graphfile import vertices_df
+
+    edges, n = _load_edges(spark, args)
+    res = hits(edges, vertices_df(spark, n), max_iter=args.max_iter)
+    if args.output:
+        res.scores.write.mode("overwrite").parquet(args.output)
+    top = res.scores.orderBy(F.desc("auth"), F.asc("id")).limit(1).first()
+    print(json.dumps({"iterations": res.iterations,
+                      "top_auth_id": int(top["id"]) if top else None}))
+    return 0
+
+
+def cmd_ppr(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.linkanalysis import personalized_pagerank
+
+    edges, n = _load_edges(spark, args)
+    seeds = spark.createDataFrame(
+        [(int(s),) for s in args.seeds.split(",")], "id long"
+    )
+    ranks = personalized_pagerank(
+        edges, n, seeds, c=args.c, max_iter=args.max_iter, eps=args.eps
+    )
+    if args.output:
+        ranks.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"n_ranked": ranks.filter(F.col("rank") > 0).count()}))
+    return 0
+
+
+def cmd_bfs(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.linkanalysis import bfs_distances
+
+    edges, _ = _load_edges(spark, args)
+    sources = spark.createDataFrame(
+        [(int(s),) for s in args.seeds.split(",")], "id long"
+    )
+    dist = bfs_distances(
+        edges, sources, max_hops=args.max_hops, directed=not args.undirected
+    )
+    if args.output:
+        dist.write.mode("overwrite").parquet(args.output)
+    row = dist.agg(F.count(F.lit(1)).alias("n"), F.max("dist").alias("d")).first()
+    print(json.dumps({"n_reached": int(row["n"]), "max_dist": int(row["d"] or 0)}))
+    return 0
+
+
+def cmd_clustering(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.linkanalysis import clustering_coefficients
+
+    edges, _ = _load_edges(spark, args)
+    cc = clustering_coefficients(edges)
+    if args.output:
+        cc.write.mode("overwrite").parquet(args.output)
+    row = cc.agg(F.avg("cc").alias("avg"), F.count(F.lit(1)).alias("n")).first()
+    print(json.dumps({"n_vertices": int(row["n"]),
+                      "avg_cc": round(float(row["avg"] or 0.0), 6)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pagerank_spark")
     p.add_argument("--master", default=None)
@@ -219,6 +283,30 @@ def main(argv: list[str] | None = None) -> int:
     graph_args(lp)
     lp.add_argument("--max-iter", type=int, default=10)
     lp.set_defaults(fn=cmd_labelprop)
+
+    ht = sub.add_parser("hits")
+    graph_args(ht)
+    ht.add_argument("--max-iter", type=int, default=5)
+    ht.set_defaults(fn=cmd_hits)
+
+    pp = sub.add_parser("ppr", help="personalized (topic-sensitive) pagerank")
+    graph_args(pp)
+    pp.add_argument("--seeds", required=True, help="comma-separated seed ids")
+    pp.add_argument("--c", type=float, default=0.85)
+    pp.add_argument("--eps", type=float, default=1e-5)
+    pp.add_argument("--max-iter", type=int, default=50)
+    pp.set_defaults(fn=cmd_ppr)
+
+    bf = sub.add_parser("bfs", help="multi-source BFS hop distances")
+    graph_args(bf)
+    bf.add_argument("--seeds", required=True, help="comma-separated source ids")
+    bf.add_argument("--max-hops", type=int, default=30)
+    bf.add_argument("--undirected", action="store_true")
+    bf.set_defaults(fn=cmd_bfs)
+
+    cl = sub.add_parser("clustering", help="local clustering coefficients")
+    graph_args(cl)
+    cl.set_defaults(fn=cmd_clustering)
 
     args = p.parse_args(argv)
     return args.fn(args)

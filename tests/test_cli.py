@@ -152,3 +152,23 @@ def test_cli_default_durable_resume(tmp_path):
     )
     assert r3["warehouse"] is None
     assert not os.path.exists(str(tmp_path / "ranks2") + "_warehouse")
+
+
+@pytest.mark.slow
+def test_cli_linkanalysis_subcommands(tmp_path):
+    """hits / ppr / bfs / clustering are drivable from the CLI over the
+    golden .graph and agree with the numpy oracles' headline facts."""
+    gf = "/root/reference/Pagerank/src/test1.graph"
+
+    r = run_cli("hits", "--graph-file", gf, "--max-iter", "2")
+    assert r["iterations"] == 2 and r["top_auth_id"] is not None
+
+    r = run_cli("ppr", "--graph-file", gf, "--seeds", "0,1,2",
+                "--max-iter", "3")
+    assert r["n_ranked"] > 3  # mass spread beyond the seeds
+
+    r = run_cli("bfs", "--graph-file", gf, "--seeds", "0", "--max-hops", "4")
+    assert r["n_reached"] >= 1 and 0 <= r["max_dist"] <= 4
+
+    r = run_cli("clustering", "--graph-file", gf)
+    assert r["n_vertices"] > 0 and 0.0 <= r["avg_cc"] <= 1.0
