@@ -1,0 +1,399 @@
+"""Graph-structure operators beyond the reference surface: k-core
+decomposition (coreness), strongly connected components, and whole-graph
+summary statistics (reciprocity, degree assortativity).
+
+The reference engine (/root/reference/Pagerank/src/pagerank32c.c) computes
+only PageRank over the link graph; a Common-Crawl-scale link-graph engine
+also needs the structural decompositions spam/quality pipelines run on web
+graphs (k-core pruning of low-engagement pages, SCC for the bow-tie
+decomposition of the web, reciprocity/assortativity as corpus-level health
+metrics). Execution discipline matches the audited iterative loops
+(PLANS.md "statically planned checkpoints"):
+
+- iteration state is checkpointed under ``util.static_plan`` so the
+  LogicalRDD keeps hash partitioning and each round plans one shuffle;
+- O(V) join sides are broadcast below ``util.BROADCAST_SAFE_ROWS`` and
+  forced to shuffle-hash joins above it;
+- nothing O(V) or O(E) is collected to the driver (convergence checks use
+  the (count, xor-hash) set checksum, same probabilistic contract as
+  components/labelprop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pagerank_spark import util as _util
+
+
+def _no_bcast_fn(n_verts: int):
+    def no_bcast(df: DataFrame) -> DataFrame:
+        return df if n_verts <= _util.BROADCAST_SAFE_ROWS else df.hint("shuffle_hash")
+
+    return no_bcast
+
+
+def coreness(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
+    """k-core decomposition via iterated neighborhood h-index (Lu et al.,
+    "The H-index of a network node", PNAS 2016): over the undirected simple
+    graph, start from c0(v) = degree(v) and iterate
+
+        c_{t+1}(v) = H({c_t(u) : u adjacent to v})
+
+    where H is the h-index (the largest h such that at least h neighbors
+    have value >= h). The sequence is non-increasing per vertex and its
+    fixpoint is exactly the coreness, so running extra rounds past
+    convergence is a no-op — which is what makes the unrolled SQL oracle in
+    __spark_entry__.py exact.
+
+    Returns (id, coreness) for every vertex with at least one neighbor
+    (isolated vertices and pure-self-loop vertices have coreness 0 and are
+    absent, mirroring the degree operators).
+
+    Physical plan per round: the neighbor join consumes the persisted
+    hash(nb) edge layout x the state checkpoint's hash(id); ONE exchange
+    brings (id, neighbor value) to hash(id), where the h-index window sort
+    and the groupBy both run without further movement. Convergence is the
+    (count, xor-hash) checksum, one tiny aggregate per round; rounds needed
+    = O(graph diameter) worst-case, small on web-like graphs.
+    """
+    spark = edges.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_verts = _util.approx_vertex_count(edges)
+    no_bcast = _no_bcast_fn(n_verts)
+
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbrs = (
+        canon.select(F.col("a").alias("id"), F.col("b").alias("nb"))
+        .union(canon.select(F.col("b").alias("id"), F.col("a").alias("nb")))
+        .repartition(shuffle_p, "nb")
+        .persist()
+    )
+    nbrs.count()
+
+    with _util.static_plan(spark):
+        state = (
+            nbrs.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .repartition(shuffle_p, "id")
+            .localCheckpoint(eager=True)
+        )
+    prev_sum = _util.set_checksum(state, "id", "c")
+
+    w = Window.partitionBy("id").orderBy(F.desc("cu"), F.asc("nb"))
+    for _ in range(max_rounds):
+        joined = nbrs.join(
+            no_bcast(state.select(F.col("id").alias("nb_id"), F.col("c").alias("cu"))),
+            nbrs.nb == F.col("nb_id"),
+        ).select("id", "nb", "cu")
+        new_state = (
+            joined.withColumn("rn", F.row_number().over(w))
+            .groupBy("id")
+            .agg(
+                F.max(
+                    F.when(F.col("cu") >= F.col("rn"), F.col("rn")).otherwise(0)
+                )
+                .cast("long")
+                .alias("c")
+            )
+        )
+        with _util.static_plan(spark):
+            state = new_state.repartition(shuffle_p, "id").localCheckpoint(eager=True)
+        cur_sum = _util.set_checksum(state, "id", "c")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    nbrs.unpersist()
+    return state.select("id", F.col("c").alias("coreness"))
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_phases: int = 100,
+) -> DataFrame:
+    """Strongly connected components of a directed graph via trim +
+    max-id forward coloring + in-color backward reachability (the
+    FW-BW/coloring family of distributed SCC algorithms — Orzan 2004,
+    Slota et al. 2014 — expressed as DataFrame fixpoints).
+
+    Each phase:
+
+    1. **Trim** to fixpoint: a vertex with no in-edges or no out-edges in
+       the live subgraph is its own (trivial) SCC. On web graphs the vast
+       majority of vertices fall here (the bow-tie tendrils), which is why
+       trim runs first and to fixpoint.
+    2. **Color**: propagate ``color(v) = max id that reaches v`` along
+       forward edges to fixpoint (label-propagation-style rounds, so
+       O(diameter) rounds, each one shuffle).
+    3. **Backward reach**: from each color root r (``color(r) == r``),
+       walk reversed edges restricted to color-r vertices; every vertex
+       reached is in SCC(r) (it reaches r and r reaches it). Every vertex
+       on such a path provably carries color r, so the restriction loses
+       nothing.
+    4. Assign those SCCs (labeled by their min member id), delete them
+       from the live subgraph, repeat. Each phase removes at least the
+       SCC of the max-id vertex of every weakly-connected remainder.
+
+    Returns (id, scc) with scc = min member id, for every vertex in
+    ``vertices`` (default: all edge endpoints). Self-loops are ignored
+    (they never change SCC membership).
+
+    Nothing is driver-resident: live-set sizes are tracked with
+    ``isEmpty``/checksum actions; assigned components accumulate via
+    checkpointed unions.
+    """
+    spark = edges.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_verts = _util.approx_vertex_count(edges)
+    no_bcast = _no_bcast_fn(n_verts)
+
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if vertices is None:
+        vertices = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    with _util.static_plan(spark):
+        live_v = (
+            vertices.select(F.col("id").cast("long"))
+            .repartition(shuffle_p, "id")
+            .localCheckpoint(eager=True)
+        )
+        live_e = e.repartition(shuffle_p, "src").localCheckpoint(eager=True)
+
+    assigned = spark.createDataFrame([], "id long, scc long")
+
+    for _ in range(max_phases):
+        # ---- 1. trim to fixpoint: keep only vertices with both in & out
+        while True:
+            has_out = live_e.select(F.col("src").alias("id")).distinct()
+            has_in = live_e.select(F.col("dst").alias("id")).distinct()
+            core = has_out.join(no_bcast(has_in), "id", "left_semi")
+            trimmed = live_v.join(no_bcast(core), "id", "left_anti").select(
+                "id", F.col("id").alias("scc")
+            )
+            if trimmed.isEmpty():
+                break
+            with _util.static_plan(spark):
+                assigned = assigned.union(trimmed).localCheckpoint(eager=True)
+                live_v = (
+                    live_v.join(no_bcast(core), "id", "left_semi")
+                    .repartition(shuffle_p, "id")
+                    .localCheckpoint(eager=True)
+                )
+                live_e = (
+                    live_e.join(
+                        no_bcast(live_v.select(F.col("id").alias("src"))),
+                        "src",
+                        "left_semi",
+                    )
+                    .join(
+                        no_bcast(live_v.select(F.col("id").alias("dst"))),
+                        "dst",
+                        "left_semi",
+                    )
+                    .select("src", "dst")
+                    .repartition(shuffle_p, "src")
+                    .localCheckpoint(eager=True)
+                )
+        if live_v.isEmpty():
+            break
+
+        # ---- 2. forward max-color to fixpoint
+        with _util.static_plan(spark):
+            color = (
+                live_v.select("id", F.col("id").alias("color"))
+                .repartition(shuffle_p, "id")
+                .localCheckpoint(eager=True)
+            )
+        prev_sum = _util.set_checksum(color, "id", "color")
+        while True:
+            incoming = (
+                live_e.join(
+                    no_bcast(color.select(F.col("id").alias("src"), "color")), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("color").alias("in_color"))
+            )
+            new_color = color.join(no_bcast(incoming), "id", "left").select(
+                "id",
+                F.greatest(
+                    F.col("color"), F.coalesce(F.col("in_color"), F.lit(-1))
+                ).alias("color"),
+            )
+            with _util.static_plan(spark):
+                color = new_color.repartition(shuffle_p, "id").localCheckpoint(
+                    eager=True
+                )
+            cur_sum = _util.set_checksum(color, "id", "color")
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+
+        # ---- 3. backward reach from color roots over same-color edges
+        ecol = (
+            live_e.join(
+                no_bcast(color.select(F.col("id").alias("src"), F.col("color").alias("c_src"))),
+                "src",
+            )
+            .join(
+                no_bcast(color.select(F.col("id").alias("dst"), F.col("color").alias("c_dst"))),
+                "dst",
+            )
+            .filter(F.col("c_src") == F.col("c_dst"))
+            .select("src", "dst", F.col("c_src").alias("color"))
+        )
+        with _util.static_plan(spark):
+            ecol = ecol.repartition(shuffle_p, "dst").localCheckpoint(eager=True)
+
+        with _util.static_plan(spark):
+            reach = (
+                color.filter(F.col("id") == F.col("color"))
+                .repartition(shuffle_p, "id")
+                .localCheckpoint(eager=True)
+            )
+        frontier = reach
+        while True:
+            fresh = (
+                ecol.join(
+                    no_bcast(frontier.select(F.col("id").alias("dst"), "color")),
+                    ["dst", "color"],
+                )
+                .select(F.col("src").alias("id"), "color")
+                .distinct()
+                .join(no_bcast(reach.select("id")), "id", "left_anti")
+            )
+            with _util.static_plan(spark):
+                fresh = fresh.repartition(shuffle_p, "id").localCheckpoint(eager=True)
+            if fresh.isEmpty():
+                break
+            with _util.static_plan(spark):
+                reach = reach.union(fresh).localCheckpoint(eager=True)
+            frontier = fresh
+
+        # ---- 4. label by min member id, assign, delete
+        labels = reach.groupBy("color").agg(F.min("id").alias("scc"))
+        part = reach.join(no_bcast(labels), "color").select("id", "scc")
+        with _util.static_plan(spark):
+            assigned = assigned.union(part).localCheckpoint(eager=True)
+            live_v = (
+                live_v.join(no_bcast(reach.select("id")), "id", "left_anti")
+                .repartition(shuffle_p, "id")
+                .localCheckpoint(eager=True)
+            )
+            live_e = (
+                live_e.join(
+                    no_bcast(live_v.select(F.col("id").alias("src"))),
+                    "src",
+                    "left_semi",
+                )
+                .join(
+                    no_bcast(live_v.select(F.col("id").alias("dst"))),
+                    "dst",
+                    "left_semi",
+                )
+                .select("src", "dst")
+                .repartition(shuffle_p, "src")
+                .localCheckpoint(eager=True)
+            )
+        if live_v.isEmpty():
+            break
+    else:
+        raise RuntimeError(f"SCC did not finish within {max_phases} phases")
+
+    return assigned
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row whole-graph summary of a directed edge table:
+
+    - ``n_vertices``: distinct endpoints
+    - ``n_edges``: distinct (src, dst) pairs
+    - ``n_self_loops``: distinct self-loop edges
+    - ``reciprocity``: fraction of distinct non-loop directed edges whose
+      reverse edge also exists (Newman's r for directed graphs)
+    - ``assortativity``: Pearson correlation, over distinct non-loop
+      edges, of (outdeg(src), indeg(dst)) — the directed out-in degree
+      assortativity; NULL when degenerate (constant degrees)
+
+    All terms are joins/aggregates over the deduplicated edge table —
+    two scans, no driver-side state; the reciprocity probe is a
+    self-semi-join on the (dst, src) key and the assortativity degree
+    sides are size-gated like every other O(V) join in the engine.
+    """
+    n_verts = _util.approx_vertex_count(edges)
+    no_bcast = _no_bcast_fn(n_verts)
+
+    e = edges.select("src", "dst").distinct().persist()
+    nonloop = e.filter(F.col("src") != F.col("dst"))
+
+    recip = nonloop.join(
+        no_bcast(nonloop.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        ["src", "dst"],
+        "left_semi",
+    )
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("od"))
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).cast("double").alias("idg"))
+    deg_pairs = nonloop.join(no_bcast(outdeg), "src").join(no_bcast(indeg), "dst")
+
+    counts = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)).alias(
+            "n_self_loops"
+        ),
+    )
+    nv = (
+        e.select(F.col("src").alias("x"))
+        .union(e.select(F.col("dst").alias("x")))
+        .agg(F.count_distinct("x").alias("n_vertices"))
+    )
+    rec = recip.agg(F.count(F.lit(1)).alias("n_recip"))
+    nl = nonloop.agg(F.count(F.lit(1)).alias("n_nonloop"))
+    # Pearson r from population moments (the sample corrections cancel in
+    # the ratio); spelled out rather than F.corr because ANSI mode makes
+    # corr THROW on zero variance where NULL is the defined answer here
+    assort = deg_pairs.agg(
+        F.covar_pop("od", "idg").alias("cv"),
+        F.stddev_pop("od").alias("sx"),
+        F.stddev_pop("idg").alias("sy"),
+    ).select(
+        F.when(
+            (F.col("sx") > 0) & (F.col("sy") > 0),
+            F.col("cv") / (F.col("sx") * F.col("sy")),
+        ).alias("assortativity")
+    )
+
+    out = (
+        nv.crossJoin(counts)
+        .crossJoin(rec)
+        .crossJoin(nl)
+        .crossJoin(assort)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_self_loops",
+            (
+                F.when(F.col("n_nonloop") > 0, F.col("n_recip") / F.col("n_nonloop"))
+                .otherwise(0.0)
+            ).alias("reciprocity"),
+            "assortativity",
+        )
+    )
+    out = out.localCheckpoint(eager=True)  # tiny (1 row); lets callers unpersist e
+    e.unpersist()
+    return out

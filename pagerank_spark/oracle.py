@@ -244,3 +244,124 @@ def bfs_numpy(
                     nxt.append(v)
         frontier = nxt
     return dist
+
+
+def coreness_numpy(edges: np.ndarray, n: int) -> dict[int, int]:
+    """k-core decomposition by exact peeling (Batagelj-Zaversnik order)
+    over the simple undirected graph; only vertices with >= 1 neighbor
+    appear (matching structure.coreness' edge-derived output)."""
+    adj: list[set[int]] = [set() for _ in range(n)]
+    for u, v in np.asarray(edges, dtype=np.int64):
+        u, v = int(u), int(v)
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    deg = {i: len(adj[i]) for i in range(n) if adj[i]}
+    core: dict[int, int] = {}
+    alive = set(deg)
+    k = 0
+    while alive:
+        k = max(k, min(deg[v] for v in alive))
+        peel = [v for v in alive if deg[v] <= k]
+        while peel:
+            v = peel.pop()
+            if v not in alive:
+                continue
+            core[v] = k
+            alive.discard(v)
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.append(u)
+    return core
+
+
+def scc_numpy(edges: np.ndarray, n: int) -> dict[int, int]:
+    """Strongly connected components via iterative Tarjan; {id: scc} with
+    scc = min member id, over all n vertices (trivial SCCs included).
+    Self-loops are ignored (structure.strongly_connected_components
+    semantics)."""
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for u, v in np.asarray(edges, dtype=np.int64):
+        if int(u) != int(v):
+            adj[int(u)].append(int(v))
+    index = {}
+    low = {}
+    on_stack = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = [0]
+
+    def strongconnect(root: int) -> None:
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                lab = min(comp)
+                for w in comp:
+                    out[w] = lab
+
+    for v in range(n):
+        if v not in index:
+            strongconnect(v)
+    return out
+
+
+def graph_summary_numpy(
+    edges: np.ndarray, n: int
+) -> tuple[int, int, int, float, float | None]:
+    """(n_vertices, n_edges, n_self_loops, reciprocity, assortativity)
+    over the deduplicated directed edge set (structure.graph_summary
+    semantics; assortativity = Pearson corr of (outdeg(src), indeg(dst))
+    over distinct non-loop edges, None when degenerate)."""
+    es = {(int(u), int(v)) for u, v in np.asarray(edges, dtype=np.int64)}
+    verts = {u for u, _ in es} | {v for _, v in es}
+    loops = sum(1 for u, v in es if u == v)
+    nonloop = [(u, v) for u, v in es if u != v]
+    recip = sum(1 for u, v in nonloop if (v, u) in es)
+    od: dict[int, int] = {}
+    idg: dict[int, int] = {}
+    for u, v in es:
+        od[u] = od.get(u, 0) + 1
+        idg[v] = idg.get(v, 0) + 1
+    xs = np.array([od[u] for u, _ in nonloop], dtype=np.float64)
+    ys = np.array([idg[v] for _, v in nonloop], dtype=np.float64)
+    assort: float | None = None
+    if len(nonloop) >= 2 and xs.std() > 0 and ys.std() > 0:
+        assort = float(np.corrcoef(xs, ys)[0, 1])
+    return (
+        len(verts),
+        len(es),
+        loops,
+        (recip / len(nonloop)) if nonloop else 0.0,
+        assort,
+    )

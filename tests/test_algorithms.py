@@ -223,3 +223,83 @@ def test_bfs_max_hops_truncates(spark):
         for r in bfs_distances(edges_from_numpy(spark, arr), src_df, max_hops=3).collect()
     }
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+# ----------------------------------------------------- structure operators
+@pytest.mark.parametrize(
+    "name", ["chain_8", "cycle_8", "star_hub", "complete_6", "two_islands", "test1_mirror"]
+)
+def test_coreness_exact(spark, name):
+    from pagerank_spark.algorithms.structure import coreness
+    from pagerank_spark.oracle import coreness_numpy
+
+    arr, n = micro_graphs()[name]
+    got = {
+        r["id"]: r["coreness"]
+        for r in coreness(edges_from_numpy(spark, arr)).collect()
+    }
+    assert got == coreness_numpy(arr, n)
+
+
+def test_coreness_fixpoint_stable_under_extra_rounds(spark):
+    # the h-index iteration is a no-op past its fixpoint, which is the
+    # invariant the unrolled SQL oracle relies on
+    from pagerank_spark.algorithms.structure import coreness
+
+    arr, _ = micro_graphs()["two_islands"]
+    e = edges_from_numpy(spark, arr)
+    a = sorted(map(tuple, coreness(e, max_rounds=100).collect()))
+    b = sorted(map(tuple, coreness(e, max_rounds=3).collect()))
+    assert a == b
+
+
+@pytest.mark.parametrize(
+    "name", ["chain_8", "cycle_8", "star_hub", "complete_6", "two_islands", "test1_mirror"]
+)
+def test_scc_exact(spark, name):
+    from pagerank_spark.algorithms.structure import strongly_connected_components
+    from pagerank_spark.oracle import scc_numpy
+
+    arr, n = micro_graphs()[name]
+    got = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(
+            edges_from_numpy(spark, arr), vertices_df(spark, n)
+        ).collect()
+    }
+    assert got == scc_numpy(arr, n)
+
+
+def test_scc_two_cycles_bridge(spark):
+    # two 3-cycles joined by a one-way bridge stay distinct SCCs; the
+    # bridge makes them one weakly-connected piece, exercising the
+    # multi-SCC coloring phase (not just trim)
+    from pagerank_spark.algorithms.structure import strongly_connected_components
+    from pagerank_spark.oracle import scc_numpy
+
+    arr = np.array(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)], dtype=np.int64
+    )
+    got = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(
+            edges_from_numpy(spark, arr), vertices_df(spark, 6)
+        ).collect()
+    }
+    assert got == scc_numpy(arr, 6) == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+@pytest.mark.parametrize("name", ["chain_8", "complete_6", "two_islands", "test1_mirror"])
+def test_graph_summary_exact(spark, name):
+    from pagerank_spark.algorithms.structure import graph_summary
+    from pagerank_spark.oracle import graph_summary_numpy
+
+    arr, n = micro_graphs()[name]
+    row = graph_summary(edges_from_numpy(spark, arr)).first()
+    nv, ne, nl, rec, asrt = graph_summary_numpy(arr, n)
+    assert (row["n_vertices"], row["n_edges"], row["n_self_loops"]) == (nv, ne, nl)
+    assert abs(row["reciprocity"] - rec) < 1e-12
+    if asrt is None:
+        assert row["assortativity"] is None
+    else:
+        assert abs(row["assortativity"] - asrt) < 1e-9
