@@ -212,6 +212,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.col("dist").cast("int").alias("dist")
         )
 
+    def kcore_coreness(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.structure import coreness
+
+        c = coreness(_edges(spark, sf))
+        return _verts(spark).join(c, "id", "left").select(
+            "id", F.coalesce(F.col("coreness"), F.lit(0)).cast("long").alias("coreness")
+        )
+
+    def scc_components(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.structure import strongly_connected_components
+
+        return strongly_connected_components(_edges(spark, sf), _verts(spark))
+
+    def graph_stats(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.structure import graph_summary
+
+        return graph_summary(_edges(spark, sf)).select(
+            "n_vertices",
+            "n_edges",
+            F.col("n_self_loops").cast("long").alias("n_self_loops"),
+            F.round(F.col("reciprocity") * 1e6).cast("long").alias("reciprocity_e6"),
+            F.round(F.col("assortativity") * 1e6)
+            .cast("long")
+            .alias("assortativity_e6"),
+        )
+
     def dedup_exact(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.pipeline.dedup import exact_dedup
@@ -498,6 +527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": pagerank_personalized,
         "clustering_coefficient": clustering_coefficient,
         "bfs_from_seeds": bfs_from_seeds,
+        "kcore_coreness": kcore_coreness,
+        "scc_components": scc_components,
+        "graph_stats": graph_stats,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
@@ -954,6 +986,69 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 1
         "CAST(n AS INTEGER) AS n_len_ok, CAST(n AS INTEGER) AS n_roundtrip_ok "
         "FROM (VALUES ('image', 40), ('audio', 40), ('video', 40)) AS t(kind, n)"
     )
+    # ---- k-core coreness: the neighborhood h-index iteration
+    # (structure.coreness) unrolled 12 rounds — past its fixpoint extra
+    # rounds are a no-op (tested), and sf0.01 converges in 9; h-index per
+    # vertex = max rank r (neighbors sorted by value desc) with value >= r
+    kc_rounds = []
+    for r in range(1, 13):
+        kc_rounds.append(
+            f"h{r} AS MATERIALIZED (SELECT id, "
+            f"CAST(MAX(CASE WHEN cu >= rn THEN rn ELSE 0 END) AS BIGINT) AS c FROM ("
+            f"SELECT n.id, s.c AS cu, ROW_NUMBER() OVER (PARTITION BY n.id "
+            f"ORDER BY s.c DESC, n.nb) AS rn "
+            f"FROM nb n JOIN h{r-1} s ON s.id = n.nb) GROUP BY id)"
+        )
+    KCORE = (
+        f"WITH und AS MATERIALIZED ({UND}),\n"
+        f"nb AS MATERIALIZED (SELECT a AS id, b AS nb FROM und "
+        f"UNION ALL SELECT b, a FROM und),\n"
+        f"h0 AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS c "
+        f"FROM nb GROUP BY id),\n"
+        + ",\n".join(kc_rounds)
+        + f"\nSELECT v.id, COALESCE(h12.c, 0) AS coreness "
+        f"FROM ({V}) v LEFT JOIN h12 ON h12.id = v.id"
+    )
+    # ---- SCC: exact via recursive-CTE transitive closure (feasible at the
+    # 200-vertex driver graph); scc(v) = min over mutually-reachable ids
+    SCC = f"""
+WITH RECURSIVE e AS MATERIALIZED (SELECT src, dst FROM ({E}) WHERE src <> dst),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a, r1.b FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+mn AS (SELECT a AS id, MIN(b) AS mb FROM mutual GROUP BY a)
+SELECT v.id, LEAST(v.id, COALESCE(mn.mb, v.id)) AS scc
+FROM ({V}) v LEFT JOIN mn ON mn.id = v.id
+"""
+    # ---- whole-graph summary: reciprocity + out-in degree assortativity
+    # (population-moment Pearson, same formula the Spark side uses)
+    GSTATS = f"""
+WITH e AS MATERIALIZED ({E}),
+nl AS MATERIALIZED (SELECT * FROM e WHERE src <> dst),
+rc AS (SELECT COUNT(*) AS n_recip FROM nl a
+       WHERE EXISTS (SELECT 1 FROM nl b WHERE b.src = a.dst AND b.dst = a.src)),
+od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
+idg AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS ideg FROM e GROUP BY dst),
+dp AS (SELECT od.odeg AS x, idg.ideg AS y FROM nl
+       JOIN od ON od.src = nl.src JOIN idg ON idg.dst = nl.dst),
+ag AS (SELECT covar_pop(x, y) AS cv, stddev_pop(x) AS sx, stddev_pop(y) AS sy FROM dp),
+c AS (SELECT
+  (SELECT COUNT(*) FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)) AS n_vertices,
+  (SELECT COUNT(*) FROM e) AS n_edges,
+  (SELECT COUNT(*) FROM e WHERE src = dst) AS n_self_loops,
+  (SELECT COUNT(*) FROM nl) AS n_nonloop)
+SELECT n_vertices, n_edges, n_self_loops,
+  CAST(ROUND(CASE WHEN n_nonloop > 0
+       THEN n_recip * 1.0 / n_nonloop ELSE 0 END * 1e6) AS BIGINT) AS reciprocity_e6,
+  CAST(ROUND(CASE WHEN sx > 0 AND sy > 0 THEN cv / (sx * sy) END * 1e6) AS BIGINT)
+    AS assortativity_e6
+FROM c, rc, ag
+"""
     return {
         "outdegree": f"SELECT src AS id, COUNT(*) AS outdeg FROM ({E}) GROUP BY src",
         "top_indegree": (
@@ -988,6 +1083,9 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 1
         "bfs_from_seeds": BFS,
         "pagerank_personalized": PPR3,
         "clustering_coefficient": CLUSTER,
+        "kcore_coreness": KCORE,
+        "scc_components": SCC,
+        "graph_stats": GSTATS,
         "dedup_exact": (
             "SELECT keep_id, COUNT(*) AS group_size FROM "
             "(SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id "
