@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_VERTS = 200
+N_HOSTS = 50
 K_NN = 5
 N_QUERIES = 5
 
@@ -241,6 +242,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("assortativity_e6"),
         )
 
+    def host_pagerank(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import weighted_pagerank
+        from pagerank_spark.algorithms.structure import contract_graph
+
+        mapping = _verts(spark).select("id", (F.col("id") % N_HOSTS).alias("group"))
+        he = contract_graph(_edges(spark, sf), mapping)
+        ranks = weighted_pagerank(
+            he.select("src", "dst", F.col("weight").cast("double").alias("weight")),
+            N_HOSTS,
+            max_iter=3,
+        )
+        return ranks.select(
+            "id", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
+        )
+
     def dedup_exact(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.pipeline.dedup import exact_dedup
@@ -273,6 +290,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(
             "id_a", "id_b",
             F.round(F.col("est_jaccard") * 128).cast("long").alias("n_match"),
+        )
+
+    def dedup_canonical(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.dedup import canonical_docs, minhash_lsh_pairs
+
+        docs = _docs(spark, sf)
+        pairs = minhash_lsh_pairs(docs, threshold=0.4, hash_fn="md5")
+        return canonical_docs(docs, pairs).select(
+            "doc_id",
+            "canonical_id",
+            F.col("is_canonical").cast("int").alias("is_canonical"),
         )
 
     def dedup_simhash(spark, sf):
@@ -530,9 +559,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_coreness": kcore_coreness,
         "scc_components": scc_components,
         "graph_stats": graph_stats,
+        "host_pagerank": host_pagerank,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
+        "dedup_canonical": dedup_canonical,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_lsh": dedup_embedding,
         "dedup_embedding_exact": dedup_embedding_exact,
@@ -803,6 +834,30 @@ SELECT c.id_a, c.id_b,
 FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b
 WHERE len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i])) / 128.0 >= 0.4
 """
+    # ---- dedup canonicalization: connected components of the MinHash-LSH
+    # pair graph (min-label propagation unrolled 6 rounds — converges in
+    # <= the min-vertex eccentricity, and the planted sf corpora have
+    # cluster diameter 1), canonical = min cluster member, untouched docs
+    # are their own canonical
+    canon_rounds = []
+    for r in range(1, 7):
+        canon_rounds.append(
+            f"cl{r} AS MATERIALIZED (SELECT p.id, "
+            f"LEAST(p.lab, COALESCE(mn{r}.m, p.lab)) AS lab FROM cl{r-1} p "
+            f"LEFT JOIN (SELECT und.u AS id, MIN(l.lab) AS m FROM und "
+            f"JOIN cl{r-1} l ON l.id = und.v GROUP BY und.u) mn{r} "
+            f"ON mn{r}.id = p.id)"
+        )
+    CANON = (
+        f"WITH prs AS MATERIALIZED (SELECT id_a, id_b FROM ({MINHASH})),\n"
+        f"und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM prs "
+        f"UNION SELECT id_b, id_a FROM prs),\n"
+        f"cl0 AS (SELECT DISTINCT u AS id, u AS lab FROM und),\n"
+        + ",\n".join(canon_rounds)
+        + "\nSELECT d.doc_id, COALESCE(cl6.lab, d.doc_id) AS canonical_id, "
+        "CAST(COALESCE(cl6.lab, d.doc_id) = d.doc_id AS INTEGER) AS is_canonical "
+        "FROM documents d LEFT JOIN cl6 ON cl6.id = d.doc_id"
+    )
     # ---- converged PageRank: 12 unrolled power iterations + the engine's
     # eps-stop rule (first k with L1 delta < 1e-5) applied in SQL, so the
     # oracle adapts to however many iterations the graph actually needs
@@ -1049,6 +1104,39 @@ SELECT n_vertices, n_edges, n_self_loops,
     AS assortativity_e6
 FROM c, rc, ag
 """
+    # ---- host-rollup weighted PageRank: contract pages to hosts
+    # (id % N_HOSTS, intra-host edges dropped, weight = parallel-edge
+    # count), then 3 unrolled weighted power iterations mirroring
+    # linkanalysis.weighted_pagerank / _ppr_iteration term-for-term
+    # (tele literal, dm * tele, ((1-c) * tm) * tele) so doubles agree
+    TELE = repr(1.0 / N_HOSTS)
+    wpr_iters = []
+    for k in range(1, 4):
+        p = f"w{k-1}"
+        wpr_iters.append(
+            f"wd{k-1} AS (SELECT COALESCE(SUM(p.r), 0) AS dm FROM {p} p "
+            f"LEFT JOIN ws ON ws.id = p.id WHERE ws.id IS NULL),\n"
+            f"wt{k-1} AS (SELECT SUM(r) AS tm FROM {p}),\n"
+            f"wc{k} AS (SELECT he.dst AS id, SUM(p.r * (he.weight / ws.wsum)) AS contrib "
+            f"FROM he JOIN {p} p ON p.id = he.src JOIN ws ON ws.id = he.src "
+            f"GROUP BY he.dst),\n"
+            f"w{k} AS MATERIALIZED (SELECT hv.id, "
+            f"0.85 * (COALESCE(wc{k}.contrib, 0) + (SELECT dm FROM wd{k-1}) * {TELE}) "
+            f"+ ((1.0 - 0.85) * (SELECT tm FROM wt{k-1})) * {TELE} AS r "
+            f"FROM hv LEFT JOIN wc{k} ON wc{k}.id = hv.id)"
+        )
+    HOSTPR = (
+        f"WITH e AS MATERIALIZED ({E}),\n"
+        f"he AS MATERIALIZED (SELECT src % {N_HOSTS} AS src, dst % {N_HOSTS} AS dst, "
+        f"COUNT(*) AS weight FROM e WHERE src % {N_HOSTS} <> dst % {N_HOSTS} "
+        f"GROUP BY 1, 2),\n"
+        f"hv AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, {N_HOSTS})),\n"
+        f"ws AS (SELECT src AS id, CAST(SUM(weight) AS DOUBLE) AS wsum FROM he GROUP BY src),\n"
+        f"w0 AS (SELECT id, {TELE} AS r FROM hv),\n"
+        + ",\n".join(wpr_iters)
+        + f"\nSELECT id, CAST(ROUND(r / (SELECT SUM(ABS(r)) FROM w3) * 1e6) AS BIGINT) "
+        f"AS rank_e6 FROM w3"
+    )
     return {
         "outdegree": f"SELECT src AS id, COUNT(*) AS outdeg FROM ({E}) GROUP BY src",
         "top_indegree": (
@@ -1086,6 +1174,7 @@ FROM c, rc, ag
         "kcore_coreness": KCORE,
         "scc_components": SCC,
         "graph_stats": GSTATS,
+        "host_pagerank": HOSTPR,
         "dedup_exact": (
             "SELECT keep_id, COUNT(*) AS group_size FROM "
             "(SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id "
@@ -1093,6 +1182,7 @@ FROM c, rc, ag
         ),
         "dedup_ngram_jaccard": NGRAM,
         "dedup_minhash_lsh": MINHASH,
+        "dedup_canonical": CANON,
         "knn_bruteforce": KNN,
         "lang_distribution": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "token_counts": f"SELECT doc_id, len({TOKS}) AS n_tokens FROM documents",

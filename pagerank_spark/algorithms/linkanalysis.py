@@ -381,3 +381,87 @@ def bfs_distances(
 
     e.unpersist()
     return dist
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    n: int,
+    c: float = 0.85,
+    max_iter: int = 20,
+    eps: float = 0.0,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """PageRank over a weighted edge table (src, dst, weight > 0) — the
+    host-graph variant of the engine's uniform PageRank
+    (pagerank.py._df_iteration; reference semantics
+    /root/reference/Pagerank/src/pagerank32c.c:907-917, with 1/outdeg
+    replaced by weight / sum-of-out-weights)::
+
+        P'[u][v]  = w(u,v) / sum_x w(u,x)
+        r'        = c * (P'^T r + dangling_mass / n) + (1-c)/n * total
+
+    Dangling = no out-edges; teleport uniform. Returns (id, rank)
+    L1-normalized for every vertex in [0, n).
+
+    Physical cost is identical to personalized_pagerank: one shuffle per
+    iteration (the contribution aggregation) — the row-normalized edge
+    cache carries hash(src), the state checkpoint keeps hash(id) under
+    ``util.static_plan``, and the uniform teleport rides as the ``tele``
+    state column so ``_ppr_iteration`` is reused verbatim.
+    """
+    spark = edges.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def no_bcast(df: DataFrame) -> DataFrame:
+        return df if n <= _util.BROADCAST_SAFE_ROWS else df.hint("shuffle_hash")
+
+    wsum = edges.groupBy("src").agg(F.sum(weight_col).alias("wsum"))
+    ew = (
+        edges.join(no_bcast(wsum), "src")
+        .select("src", "dst", (F.col(weight_col) / F.col("wsum")).alias("w"))
+        .repartition(shuffle_p, "src")
+        .persist()
+    )
+    ew.count()
+
+    src_ids = wsum.select(F.col("src").alias("id"))
+    with _util.static_plan(spark):
+        state = (
+            spark.range(0, n, 1, shuffle_p)
+            .join(no_bcast(src_ids.withColumn("nd", F.lit(True))), "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("nd"), F.lit(False)).alias("non_dangling"),
+                F.lit(1.0 / n).alias("tele"),
+            )
+            .withColumn("rank", F.col("tele"))
+            .repartition(shuffle_p, "id")
+            .localCheckpoint(eager=True)
+        )
+
+    init = state.agg(
+        F.sum(F.when(~F.col("non_dangling"), F.col("rank"))).alias("dmass"),
+        F.sum("rank").alias("total"),
+    ).first()
+    dmass = float(init["dmass"] or 0.0)
+    total = float(init["total"])
+
+    for _ in range(max_iter):
+        with _util.static_plan(spark):
+            new_state = _ppr_iteration(
+                ew, state, c, dmass, total, no_bcast
+            ).localCheckpoint(eager=True)
+        stats = new_state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+            F.sum(F.when(~F.col("non_dangling"), F.col("rank"))).alias("dmass"),
+            F.sum("rank").alias("total"),
+        ).first()
+        dmass = float(stats["dmass"] or 0.0)
+        total = float(stats["total"])
+        state = new_state.select("id", "rank", "tele", "non_dangling")
+        if float(stats["delta"]) < eps:
+            break
+
+    ew.unpersist()
+    norm = state.agg(F.sum(F.abs(F.col("rank")))).first()[0]
+    return state.select("id", (F.col("rank") / F.lit(float(norm))).alias("rank"))

@@ -397,3 +397,37 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     out = out.localCheckpoint(eager=True)  # tiny (1 row); lets callers unpersist e
     e.unpersist()
     return out
+
+
+def contract_graph(
+    edges: DataFrame,
+    mapping: DataFrame,
+    drop_internal: bool = True,
+) -> DataFrame:
+    """Quotient (coarsened) graph under a vertex grouping — the host-graph
+    rollup of a page-level link graph: ``mapping`` is (id, group); every
+    page edge (src, dst) becomes a group edge (group(src), group(dst)) and
+    parallel edges collapse into an integer ``weight``. ``drop_internal``
+    removes intra-group edges (the classic host-graph convention).
+
+    Returns (src, dst, weight: long) at group granularity. Unmapped
+    endpoints drop out (inner joins) — at web scale the mapping is derived
+    from the same crawl, so a missing entry is a data bug worth surfacing
+    via count deltas, not silently keeping raw ids.
+
+    Cost: two hash joins on the O(V) mapping (size-gated like every other
+    vertex-side join) and one aggregation on the group key — the natural
+    shape for a 100 TB edge table since the output is |groups|-sized.
+    """
+    n_verts = _util.approx_vertex_count(edges)
+    no_bcast = _no_bcast_fn(n_verts)
+    m_src = mapping.select(F.col("id").alias("src"), F.col("group").alias("gsrc"))
+    m_dst = mapping.select(F.col("id").alias("dst"), F.col("group").alias("gdst"))
+    out = (
+        edges.join(no_bcast(m_src), "src")
+        .join(no_bcast(m_dst), "dst")
+        .select(F.col("gsrc").alias("src"), F.col("gdst").alias("dst"))
+    )
+    if drop_internal:
+        out = out.filter(F.col("src") != F.col("dst"))
+    return out.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))

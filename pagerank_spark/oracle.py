@@ -365,3 +365,32 @@ def graph_summary_numpy(
         (recip / len(nonloop)) if nonloop else 0.0,
         assort,
     )
+
+
+def weighted_pagerank_numpy(
+    edges_w: list[tuple[int, int, float]],
+    n: int,
+    c: float = 0.85,
+    max_iter: int = 20,
+    eps: float = 0.0,
+) -> np.ndarray:
+    """Weighted PageRank (linkanalysis.weighted_pagerank semantics):
+    row-normalize by out-weight sums, dangling mass and teleport uniform,
+    L1-normalized at the end."""
+    P = np.zeros((n, n))
+    wsum: dict[int, float] = {}
+    for u, v, w in edges_w:
+        wsum[u] = wsum.get(u, 0.0) + w
+    for u, v, w in edges_w:
+        P[u, v] += w / wsum[u]
+    nd = np.array([u in wsum for u in range(n)])
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        dmass = r[~nd].sum()
+        total = r.sum()
+        new = c * (P.T @ r + dmass / n) + (1 - c) / n * total
+        delta = np.abs(new - r).sum()
+        r = new
+        if delta < eps:
+            break
+    return r / np.abs(r).sum()

@@ -657,3 +657,48 @@ def simhash_pairs(
         "id_b",
         F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS into clusters and elect a canonical
+    representative per cluster — the stage a training-data pipeline runs
+    after any pair generator here (``minhash_lsh_pairs``,
+    ``ngram_jaccard_pairs``, ``simhash_pairs``, ``embedding_cosine_pairs``).
+
+    ``pairs``: (id_a, id_b) near-duplicate matches (any extra score columns
+    are ignored). Clusters are the connected components of the pair graph
+    (transitive closure — a~b, b~c puts a,c in one cluster even if the pair
+    generator never scored them), computed with the engine's
+    large-star/small-star algorithm, so the pair graph can be billions of
+    edges without a driver-side union-find. Canonical id = min doc id of
+    the cluster (deterministic, join-free election: the component label
+    already IS the min member).
+
+    Returns one row per input doc: (id_col, canonical_id, is_canonical) —
+    docs in no pair are their own canonical. Filtering
+    ``is_canonical`` yields the deduplicated corpus; grouping by
+    ``canonical_id`` yields the duplicate clusters.
+    """
+    from pagerank_spark.algorithms.components import connected_components
+
+    from pagerank_spark import util as _util
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("id").alias(id_col), F.col("component").alias("canonical_id")
+    )
+    # the join's small side is the pair-involved docs, not the corpus;
+    # size-gate its strategy on that (shared constant, HLL estimate)
+    if _util.approx_vertex_count(edges) > _util.BROADCAST_SAFE_ROWS:
+        comp = comp.hint("shuffle_hash")
+    return docs.select(id_col).join(comp, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("canonical_id"), F.col(id_col)).alias("canonical_id"),
+        (
+            F.coalesce(F.col("canonical_id"), F.col(id_col)) == F.col(id_col)
+        ).alias("is_canonical"),
+    )

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from pagerank_spark.algorithms.components import connected_components
 from pagerank_spark.algorithms.labelprop import label_propagation
@@ -303,3 +304,51 @@ def test_graph_summary_exact(spark, name):
         assert row["assortativity"] is None
     else:
         assert abs(row["assortativity"] - asrt) < 1e-9
+
+
+def test_contract_graph_host_rollup(spark):
+    from pagerank_spark.algorithms.structure import contract_graph
+
+    arr, n = micro_graphs()["test1_mirror"]
+    e = edges_from_numpy(spark, arr)
+    mapping = vertices_df(spark, n).select("id", (F.col("id") % 10).alias("group"))
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in contract_graph(e, mapping).collect()
+    }
+    exp = {}
+    for u, v in arr:
+        gu, gv = int(u) % 10, int(v) % 10
+        if gu != gv:
+            exp[(gu, gv)] = exp.get((gu, gv), 0) + 1
+    assert got == exp
+
+
+def test_weighted_pagerank_exact(spark):
+    from pagerank_spark.algorithms.linkanalysis import weighted_pagerank
+    from pagerank_spark.oracle import weighted_pagerank_numpy
+
+    ew = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (3, 0, 5.0)]
+    n = 5  # vertex 4 dangling and unreferenced
+    edf = spark.createDataFrame(ew, "src long, dst long, weight double")
+    got = {r["id"]: r["rank"] for r in weighted_pagerank(edf, n, max_iter=6).collect()}
+    exp = weighted_pagerank_numpy(ew, n, max_iter=6)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert abs(got[i] - exp[i]) < 1e-12
+
+
+def test_weighted_pagerank_uniform_weights_match_plain(spark):
+    # with all weights equal, weighted PageRank must reproduce the engine's
+    # uniform dataframe PageRank exactly
+    from pagerank_spark.algorithms.linkanalysis import weighted_pagerank
+    from pagerank_spark.algorithms.pagerank import PageRank
+
+    arr, n = micro_graphs()["two_islands"]
+    e = edges_from_numpy(spark, arr)
+    ew = e.select("src", "dst", F.lit(1.0).alias("weight"))
+    got = {r["id"]: r["rank"] for r in weighted_pagerank(ew, n, max_iter=5).collect()}
+    res = PageRank(mode="dataframe", max_iter=5, eps=0.0).run(e, n)
+    exp = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    for i in range(n):
+        assert abs(got[i] - exp[i]) < 1e-12

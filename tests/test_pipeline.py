@@ -328,3 +328,23 @@ def test_minhash_md5_python_equals_jvm(spark, docs):
     m_py = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(docs, hash_fn="md5").collect()}
     m_jvm = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(docs, hash_fn="jvm-md5").collect()}
     assert m_py == m_jvm
+
+
+def test_canonical_docs_transitive_clusters(spark):
+    # pairs (1,2),(2,3) must collapse transitively to canonical 1 even
+    # though (1,3) was never scored; untouched docs are their own canonical
+    from pagerank_spark.pipeline.dedup import canonical_docs
+
+    docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in canonical_docs(docs, pairs).collect()
+    }
+    assert got == {
+        0: (0, True), 1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (6, True),
+        7: (7, True), 8: (8, True), 9: (7, False),
+    }
