@@ -179,6 +179,70 @@ def smoke_labelprop_big(spark, n_vertices=4_000_000, n_edges=16_000_000):
     }
 
 
+def smoke_kcore(spark, n_vertices=1_000_000, n_edges=8_000_000):
+    """Active-set h-index coreness at scale: correctness invariant is the
+    (count, sum, max) of the coreness distribution (deterministic seed)."""
+    from pagerank_spark.algorithms.structure import coreness
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    edges = synthetic_edges(
+        spark, n_vertices, n_edges, seed=45, num_partitions=32
+    ).persist()
+    edges.count()
+    t0 = time.time()
+    c = coreness(edges)
+    row = c.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("coreness").alias("core_sum"),
+        F.max("coreness").alias("k_max"),
+    ).first()
+    wall = time.time() - t0
+    edges.unpersist()
+    return {
+        "smoke": "kcore_coreness",
+        "n_vertices": n_vertices,
+        "n_edges": n_edges,
+        "rows": int(row["rows"]),
+        "core_sum": int(row["core_sum"]),
+        "k_max": int(row["k_max"]),
+        "wall_s": round(wall, 2),
+    }
+
+
+def smoke_scc(spark, n_vertices=1_000_000, n_edges=8_000_000):
+    """Trim+coloring SCC at scale: invariant is component count and the
+    giant-SCC size (deterministic seed)."""
+    from pagerank_spark.algorithms.structure import strongly_connected_components
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    edges = synthetic_edges(
+        spark, n_vertices, n_edges, seed=45, num_partitions=32
+    ).persist()
+    edges.count()
+    t0 = time.time()
+    scc = strongly_connected_components(edges)
+    row = scc.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct("scc").alias("n_sccs"),
+    ).first()
+    giant = (
+        scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    wall = time.time() - t0
+    edges.unpersist()
+    return {
+        "smoke": "scc",
+        "n_vertices": n_vertices,
+        "n_edges": n_edges,
+        "rows": int(row["rows"]),
+        "n_sccs": int(row["n_sccs"]),
+        "giant_scc": int(giant),
+        "wall_s": round(wall, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from pagerank_spark.session import get_spark
@@ -191,6 +255,10 @@ def main() -> None:
         print(json.dumps(smoke_labelprop_big(spark)))
     if which in ("ngram", "all"):
         print(json.dumps(smoke_ngram_capped(spark)))
+    if which in ("kcore", "all"):
+        print(json.dumps(smoke_kcore(spark)))
+    if which in ("scc", "all"):
+        print(json.dumps(smoke_scc(spark)))
     spark.stop()
 
 
