@@ -230,6 +230,56 @@ def cmd_clustering(args) -> int:
     return 0
 
 
+def cmd_kcore(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.structure import coreness
+
+    edges, _ = _load_edges(spark, args)
+    core = coreness(edges)
+    if args.output:
+        core.write.mode("overwrite").parquet(args.output)
+    row = core.agg(F.max("coreness").alias("k"), F.count(F.lit(1)).alias("n")).first()
+    print(json.dumps({"n_vertices": int(row["n"]), "k_max": int(row["k"] or 0)}))
+    return 0
+
+
+def cmd_scc(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.structure import strongly_connected_components
+    from pagerank_spark.sources.graphfile import vertices_df
+
+    edges, n = _load_edges(spark, args)
+    scc = strongly_connected_components(edges, vertices_df(spark, n))
+    if args.output:
+        scc.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"n_sccs": scc.select("scc").distinct().count()}))
+    return 0
+
+
+def cmd_summary(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.structure import graph_summary
+
+    edges, _ = _load_edges(spark, args)
+    row = graph_summary(edges).first()
+    print(
+        json.dumps(
+            {
+                "n_vertices": int(row["n_vertices"]),
+                "n_edges": int(row["n_edges"]),
+                "n_self_loops": int(row["n_self_loops"]),
+                "reciprocity": round(float(row["reciprocity"]), 6),
+                "assortativity": (
+                    None
+                    if row["assortativity"] is None
+                    else round(float(row["assortativity"]), 6)
+                ),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pagerank_spark")
     p.add_argument("--master", default=None)
@@ -303,6 +353,18 @@ def main(argv: list[str] | None = None) -> int:
     bf.add_argument("--max-hops", type=int, default=30)
     bf.add_argument("--undirected", action="store_true")
     bf.set_defaults(fn=cmd_bfs)
+
+    kc = sub.add_parser("kcore", help="k-core decomposition (coreness)")
+    graph_args(kc)
+    kc.set_defaults(fn=cmd_kcore)
+
+    sc = sub.add_parser("scc", help="strongly connected components")
+    graph_args(sc)
+    sc.set_defaults(fn=cmd_scc)
+
+    gs = sub.add_parser("summary", help="whole-graph summary stats")
+    graph_args(gs)
+    gs.set_defaults(fn=cmd_summary)
 
     cl = sub.add_parser("clustering", help="local clustering coefficients")
     graph_args(cl)

@@ -172,3 +172,19 @@ def test_cli_linkanalysis_subcommands(tmp_path):
 
     r = run_cli("clustering", "--graph-file", gf)
     assert r["n_vertices"] > 0 and 0.0 <= r["avg_cc"] <= 1.0
+
+
+def test_cli_structure_subcommands():
+    """kcore / scc / summary are drivable from the CLI over the golden
+    .graph; headline facts pinned by the in-session numpy-oracled runs."""
+    gf = "/root/reference/Pagerank/src/test1.graph"
+
+    r = run_cli("kcore", "--graph-file", gf)
+    assert r["n_vertices"] == 2319 and r["k_max"] == 14
+
+    r = run_cli("scc", "--graph-file", gf)
+    assert r["n_sccs"] == 2319  # the golden random graph is acyclic
+
+    r = run_cli("summary", "--graph-file", gf)
+    assert r["n_vertices"] == 2319 and r["n_edges"] == 5000
+    assert r["reciprocity"] == 0.0 and r["n_self_loops"] == 0
