@@ -332,3 +332,79 @@ def test_ppr_iteration_single_exchange(spark):
     )
     assert sh2 == 1, f"chained ppr iteration planned {sh2} exchanges, want 1"
     ew.unpersist()
+
+
+def test_contract_graph_broadcasts_small_mapping(spark):
+    """Below the vertex gate the host mapping joins broadcast (no shuffle
+    of the O(E) edge side beyond the final group aggregation)."""
+    from pagerank_spark.algorithms.structure import contract_graph
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    edges = synthetic_edges(spark, 300, 3000, seed=7, num_partitions=4)
+    mapping = spark.range(300).select("id", (F.col("id") % 10).alias("group"))
+    sh, bc = _exchanges(contract_graph(edges, mapping))
+    assert bc == 2, f"mapping joins planned {bc} broadcasts, want 2"
+    assert sh == 1, f"contract_graph planned {sh} shuffles, want 1 (the groupBy)"
+
+
+def test_coreness_round_exchanges_move_only_candidates(spark):
+    """One active-set coreness round plans its shuffles on the candidate
+    subset: candidate distinct + value re-key + h-index clustering. The
+    state merge consumes the checkpoint's hash(id) without an exchange."""
+    from pagerank_spark.sources.synthetic import synthetic_edges
+    from pagerank_spark.util import static_plan
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = synthetic_edges(spark, 300, 3000, seed=7, num_partitions=4)
+    canon = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    pairs = canon.select(F.col("a").alias("id"), F.col("b").alias("nb")).union(
+        canon.select(F.col("b").alias("id"), F.col("a").alias("nb"))
+    )
+    nbrs_by_nb = pairs.repartition(p, "nb").persist()
+    nbrs_by_id = pairs.repartition(p, "id").persist()
+    nbrs_by_nb.count(), nbrs_by_id.count()
+    with static_plan(spark):
+        state = (
+            nbrs_by_id.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .repartition(p, "id")
+            .localCheckpoint(eager=True)
+        )
+    changed = state.select("id")
+
+    def no_bcast(df):
+        return df.hint("shuffle_hash")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("cu"), F.asc("nb"))
+    cand = (
+        nbrs_by_nb.join(no_bcast(changed.select(F.col("id").alias("nb"))), "nb", "left_semi")
+        .select("id")
+        .distinct()
+    )
+    live = nbrs_by_id.join(no_bcast(cand), "id", "left_semi")
+    joined = live.join(
+        no_bcast(state.select(F.col("id").alias("nb_id"), F.col("c").alias("cu"))),
+        live.nb == F.col("nb_id"),
+    ).select("id", "nb", "cu")
+    fresh = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .groupBy("id")
+        .agg(F.max(F.when(F.col("cu") >= F.col("rn"), F.col("rn")).otherwise(0)).cast("long").alias("c_new"))
+    )
+    merged = state.join(no_bcast(fresh), "id", "left").select(
+        "id", F.coalesce(F.col("c_new"), F.col("c")).alias("c")
+    )
+    with static_plan(spark):
+        sh, _bc = _exchanges(merged)
+    # candidate distinct (1) + value-join re-key of the candidate subset (1)
+    # + h-index clustering back to hash(id) (1); everything else reuses the
+    # persisted layouts / checkpoint partitioning
+    assert sh <= 3, f"coreness round planned {sh} shuffle exchanges, want <= 3"
+    nbrs_by_nb.unpersist()
+    nbrs_by_id.unpersist()
