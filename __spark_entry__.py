@@ -447,6 +447,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "fingerprint"
         )
 
+    def doc_repetition(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.functions.textstats import repetition_features
+
+        rep = repetition_features(_docs(spark, sf))
+        e6 = lambda c, a: F.round(F.col(c) * 1e6).cast("long").alias(a)
+        return rep.select(
+            "doc_id",
+            F.col("n_lines"),
+            e6("dup_line_frac", "dup_line_e6"),
+            e6("top_line_frac", "top_line_e6"),
+            e6("bullet_line_frac", "bullet_e6"),
+            e6("top_bigram_frac", "top_bigram_e6"),
+        )
+
     def top_customers(spark, sf):
         orders = spark.read.parquet(f"{sf}/orders.parquet")
         cust = spark.read.parquet(f"{sf}/customer.parquet")
@@ -575,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_langid": doc_langid,
         "doc_fingerprints": doc_fingerprints,
+        "doc_repetition": doc_repetition,
         "top_customers": top_customers,
         "pricing_summary": pricing_summary,
         "user_event_stats": user_event_stats,
@@ -1197,6 +1213,45 @@ SELECT doc_id,
             CAST(list_sum(list_transform({TOKS}, x -> length(x))) AS DOUBLE) / len({TOKS})
             ELSE 0 END * 1e6) AS BIGINT) AS mtl_e6
 FROM documents
+""",
+        "doc_repetition": f"""
+WITH lines AS (
+  SELECT doc_id, regexp_replace(l, '^\\s+|\\s+$', '', 'g') AS line
+  FROM documents, unnest(string_split(text, chr(10))) AS t(l)
+),
+lc AS (
+  SELECT doc_id, line, COUNT(*) AS n FROM lines WHERE line <> ''
+  GROUP BY doc_id, line
+),
+ls AS (
+  SELECT doc_id, SUM(n) AS n_lines, COUNT(*) AS n_distinct, MAX(n) AS top_n,
+         SUM(CASE WHEN substr(line, 1, 1) IN ('-', '*', '•') THEN n ELSE 0 END)
+           AS bullet_n
+  FROM lc GROUP BY doc_id
+),
+toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+bgc AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, COUNT(*) AS n
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+  GROUP BY doc_id, bg
+),
+bs AS (SELECT doc_id, SUM(n) AS n_bigrams, MAX(n) AS top_bg FROM bgc GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(ROUND(CASE WHEN COALESCE(ls.n_lines, 0) > 0
+       THEN CAST(ls.n_lines - ls.n_distinct AS DOUBLE) / ls.n_lines ELSE 0 END * 1e6)
+       AS BIGINT) AS dup_line_e6,
+  CAST(ROUND(CASE WHEN COALESCE(ls.n_lines, 0) > 0
+       THEN CAST(ls.top_n AS DOUBLE) / ls.n_lines ELSE 0 END * 1e6)
+       AS BIGINT) AS top_line_e6,
+  CAST(ROUND(CASE WHEN COALESCE(ls.n_lines, 0) > 0
+       THEN CAST(ls.bullet_n AS DOUBLE) / ls.n_lines ELSE 0 END * 1e6)
+       AS BIGINT) AS bullet_e6,
+  CAST(ROUND(CASE WHEN COALESCE(bs.n_bigrams, 0) > 0
+       THEN CAST(bs.top_bg AS DOUBLE) / bs.n_bigrams ELSE 0 END * 1e6)
+       AS BIGINT) AS top_bigram_e6
+FROM documents d LEFT JOIN ls USING (doc_id) LEFT JOIN bs USING (doc_id)
 """,
         "top_customers": """
 SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name,

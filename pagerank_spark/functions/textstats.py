@@ -187,3 +187,102 @@ def document_fingerprints(
     return docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).mapInPandas(fingerprint_udf(window), "doc_id long, fingerprint long")
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition/layout signals per document (Rae et al.
+    2021 §A1.1 "repetition removal" — the filters a pretraining corpus
+    runs before dedup): duplicate-line fraction, most-common-line
+    fraction, bullet-line fraction, most-common-word-bigram fraction.
+
+    Returns (id_col, n_lines, dup_line_frac, top_line_frac,
+    bullet_line_frac, top_bigram_frac); fractions are 0.0 for docs without
+    lines/bigrams. Lines are newline-split, whitespace-trimmed (full \\s
+    class, not just spaces — tab-only lines are blank), empties dropped;
+    bigrams come from the engine's shared tokenizer (``tokens_col``).
+
+    Physical shape: the line/bigram modes need within-doc grouping, which
+    no array expression does in linear time, so both go explode ->
+    groupBy(doc, item) -> groupBy(doc) — two linear shuffles per signal on
+    O(total lines)/O(total tokens) rows (the O(L^2) array-lambda
+    alternative is a per-row compute bomb on long documents). The final
+    assembly is two left joins against O(docs) aggregates.
+    """
+    did = F.col(id_col)
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), "\n"),
+            lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+        ),
+        lambda x: x != "",
+    )
+    base = docs.select(
+        did.alias("_id"),
+        lines.alias("_lines"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+
+    lc = (
+        base.select("_id", F.explode("_lines").alias("line"))
+        .groupBy("_id", "line")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    line_stats = lc.groupBy("_id").agg(
+        F.sum("n").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct_lines"),
+        F.max("n").alias("top_line_n"),
+        F.sum(
+            F.when(F.substring("line", 1, 1).isin("-", "*", "•"), F.col("n"))
+            .otherwise(0)
+        ).alias("bullet_n"),
+    )
+
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - 2),
+            lambda i: F.concat(
+                F.element_at("_toks", i + 1), F.lit(" "), F.element_at("_toks", i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bc = (
+        base.select("_id", F.explode(bigrams).alias("bg"))
+        .groupBy("_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bigram_stats = bc.groupBy("_id").agg(
+        F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n")
+    )
+
+    out = (
+        base.select("_id")
+        .join(line_stats, "_id", "left")
+        .join(bigram_stats, "_id", "left")
+    )
+    nl = F.coalesce(F.col("n_lines"), F.lit(0))
+    return out.select(
+        F.col("_id").alias(id_col),
+        nl.cast("long").alias("n_lines"),
+        F.when(
+            nl > 0,
+            (nl - F.coalesce(F.col("n_distinct_lines"), F.lit(0))).cast("double") / nl,
+        )
+        .otherwise(0.0)
+        .alias("dup_line_frac"),
+        F.when(nl > 0, F.coalesce(F.col("top_line_n"), F.lit(0)).cast("double") / nl)
+        .otherwise(0.0)
+        .alias("top_line_frac"),
+        F.when(nl > 0, F.coalesce(F.col("bullet_n"), F.lit(0)).cast("double") / nl)
+        .otherwise(0.0)
+        .alias("bullet_line_frac"),
+        F.when(
+            F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+            F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("double")
+            / F.col("n_bigrams"),
+        )
+        .otherwise(0.0)
+        .alias("top_bigram_frac"),
+    )

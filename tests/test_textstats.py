@@ -102,3 +102,73 @@ def test_fingerprint_matches_pure_python_reference(spark):
     got = {r["doc_id"]: r["fingerprint"] for r in document_fingerprints(df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == ref_fp(t), f"mismatch for {t!r}"
+
+
+def test_repetition_features_hand_computed(spark):
+    from pagerank_spark.functions.textstats import repetition_features
+
+    texts = {
+        # 4 lines, "dup" twice -> n_lines=4, distinct=3, dup=1/4, top=2/4;
+        # one bullet line; tokens: dup dup other dup(x? ) compute bigrams below
+        1: "dup\ndup\n- item\nother",
+        # no newlines, single line; bigram "a b" repeats: a b a b a -> bigrams
+        # (a b),(b a),(a b),(b a) -> top 2/4
+        2: "a b a b a",
+        # empty doc -> all zeros
+        3: "",
+        # whitespace-only lines dropped
+        4: "   \n\t\n",
+        # single token -> no bigrams
+        5: "word",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_features(df).collect()}
+
+    r1 = got[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == pytest.approx(1 / 4)
+    assert r1["top_line_frac"] == pytest.approx(2 / 4)
+    assert r1["bullet_line_frac"] == pytest.approx(1 / 4)
+    # tokens: dup dup item other -> bigrams: "dup dup","dup item","item other"
+    assert r1["top_bigram_frac"] == pytest.approx(1 / 3)
+
+    r2 = got[2]
+    assert r2["n_lines"] == 1
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["top_line_frac"] == 1.0
+    assert r2["bullet_line_frac"] == 0.0
+    assert r2["top_bigram_frac"] == pytest.approx(2 / 4)
+
+    for d in (3, 4):
+        r = got[d]
+        assert r["n_lines"] == 0
+        assert (
+            r["dup_line_frac"]
+            == r["top_line_frac"]
+            == r["bullet_line_frac"]
+            == r["top_bigram_frac"]
+            == 0.0
+        )
+
+    r5 = got[5]
+    assert r5["n_lines"] == 1 and r5["top_bigram_frac"] == 0.0
+
+
+def test_repetition_features_detects_boilerplate(spark, docs):
+    """A doc that is one line repeated scores dup_line_frac near 1; the
+    organic corpus docs stay well below."""
+    from pagerank_spark.functions.textstats import repetition_features
+
+    spam = spark.createDataFrame(
+        [(10**9, "buy now\n" * 50 + "tail")], "doc_id long, text string"
+    )
+    feat = repetition_features(docs.select("doc_id", "text").union(spam))
+    rows = {r["doc_id"]: r for r in feat.collect()}
+    assert rows[10**9]["dup_line_frac"] == pytest.approx(49 / 51)
+    assert rows[10**9]["top_line_frac"] == pytest.approx(50 / 51)
+    # sanity: every fraction is in [0, 1]
+    for r in rows.values():
+        for c in ("dup_line_frac", "top_line_frac", "bullet_line_frac", "top_bigram_frac"):
+            assert 0.0 <= r[c] <= 1.0
