@@ -462,6 +462,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e6("top_bigram_frac", "top_bigram_e6"),
         )
 
+    def corpus_gopher_filter(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.curation import gopher_filter
+
+        # the synthetic corpus carries ~1 distinct stopword per doc, so the
+        # Gopher default of >=2 would be degenerate here
+        return gopher_filter(_docs(spark, sf), min_stopword_hits=1)
+
+    def doc_split(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.curation import hash_split
+
+        return hash_split(_docs(spark, sf)).select("doc_id", "bucket", "split")
+
+    def token_budget_sample(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.curation import token_budget_select
+
+        return token_budget_select(_docs(spark, sf), budget_tokens=2000)
+
     def top_customers(spark, sf):
         orders = spark.read.parquet(f"{sf}/orders.parquet")
         cust = spark.read.parquet(f"{sf}/customer.parquet")
@@ -591,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": doc_langid,
         "doc_fingerprints": doc_fingerprints,
         "doc_repetition": doc_repetition,
+        "corpus_gopher_filter": corpus_gopher_filter,
+        "doc_split": doc_split,
+        "token_budget_sample": token_budget_sample,
         "top_customers": top_customers,
         "pricing_summary": pricing_summary,
         "user_event_stats": user_event_stats,
@@ -653,6 +676,10 @@ SELECT id, MIN(r) AS component FROM reach GROUP BY id
     TOKS = (
         "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
     )
+    from pagerank_spark.functions.textstats import STOPWORDS as _SW
+
+    # union of the engine's per-language stopword profiles, in profile order
+    STOPLIST = ", ".join("'" + w + "'" for ws in _SW.values() for w in ws)
     KNN = f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1252,6 +1279,107 @@ SELECT d.doc_id,
        THEN CAST(bs.top_bg AS DOUBLE) / bs.n_bigrams ELSE 0 END * 1e6)
        AS BIGINT) AS top_bigram_e6
 FROM documents d LEFT JOIN ls USING (doc_id) LEFT JOIN bs USING (doc_id)
+""",
+        "corpus_gopher_filter": f"""
+WITH tok AS (
+  SELECT doc_id, len(t) AS n_tokens,
+    CASE WHEN len(t) > 0
+         THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+         ELSE 0 END AS mtl,
+    CASE WHEN len(t) > 0
+         THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              / len(t)
+         ELSE 0 END AS alpha_frac,
+    len(list_intersect(list_distinct(t), [{STOPLIST}])) AS stop_hits
+  FROM (SELECT doc_id, {TOKS} AS t FROM documents)
+),
+lines AS (
+  SELECT doc_id, regexp_replace(l, '^\\s+|\\s+$', '', 'g') AS line
+  FROM documents, unnest(string_split(text, chr(10))) AS t(l)
+),
+lc AS (
+  SELECT doc_id, line, COUNT(*) AS n FROM lines WHERE line <> ''
+  GROUP BY doc_id, line
+),
+ls AS (
+  SELECT doc_id, SUM(n) AS n_lines, COUNT(*) AS n_distinct, MAX(n) AS top_n,
+         SUM(CASE WHEN substr(line, 1, 1) IN ('-', '*', '•') THEN n ELSE 0 END)
+           AS bullet_n
+  FROM lc GROUP BY doc_id
+),
+rep AS (
+  SELECT d.doc_id, COALESCE(ls.n_lines, 0) AS n_lines,
+    CASE WHEN COALESCE(ls.n_lines, 0) > 0
+         THEN CAST(ls.n_lines - ls.n_distinct AS DOUBLE) / ls.n_lines
+         ELSE 0 END AS dup_frac,
+    CASE WHEN COALESCE(ls.n_lines, 0) > 0
+         THEN CAST(ls.top_n AS DOUBLE) / ls.n_lines ELSE 0 END AS top_frac,
+    CASE WHEN COALESCE(ls.n_lines, 0) > 0
+         THEN CAST(ls.bullet_n AS DOUBLE) / ls.n_lines ELSE 0 END AS bullet_frac
+  FROM documents d LEFT JOIN ls USING (doc_id)
+)
+SELECT tok.doc_id, n_tokens,
+  (n_tokens >= 50 AND n_tokens <= 100000) AS ok_tokens,
+  (mtl >= 3.0 AND mtl <= 10.0) AS ok_mean_token_len,
+  (alpha_frac >= CAST(0.8 AS DOUBLE)) AS ok_alpha_words,
+  (stop_hits >= 1) AS ok_stopwords,
+  (dup_frac <= CAST(0.3 AS DOUBLE)) AS ok_dup_lines,
+  (n_lines < 2 OR top_frac <= CAST(0.2 AS DOUBLE)) AS ok_top_line,
+  (bullet_frac <= CAST(0.9 AS DOUBLE)) AS ok_bullets,
+  (ok_tokens AND ok_mean_token_len AND ok_alpha_words AND ok_stopwords
+   AND ok_dup_lines AND ok_top_line AND ok_bullets) AS keep
+FROM tok JOIN rep USING (doc_id)
+""",
+        "doc_split": """
+SELECT doc_id,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+       % 1000000 AS BIGINT) AS bucket,
+  CASE WHEN bucket < 900000 THEN 'train'
+       WHEN bucket < 950000 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""",
+        "token_budget_sample": f"""
+WITH q AS (
+  SELECT doc_id, lang, len(t) AS n_tokens,
+    CAST(ROUND((
+      least(CAST(len(t) AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        * CAST(0.3 AS DOUBLE)
+      + CASE WHEN (CASE WHEN len(t) > 0
+                   THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                        / len(t) ELSE 0 END) BETWEEN 3 AND 10
+             THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        * CAST(0.2 AS DOUBLE)
+      + CASE WHEN (CASE WHEN length(text) > 0
+                   THEN CAST(length(text)
+                        - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                        AS DOUBLE) / length(text) ELSE 0 END)
+                  <= CAST(0.2 AS DOUBLE)
+             THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        * CAST(0.2 AS DOUBLE)
+      + least((CASE WHEN len(t) > 0
+               THEN CAST(len(list_filter(t, x -> list_contains([{STOPLIST}], x)))
+                    AS DOUBLE) / len(t) ELSE 0 END) * CAST(4.0 AS DOUBLE),
+              CAST(1.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE)
+      + CASE WHEN (CASE WHEN length(text) > 0
+                   THEN CAST(length(text)
+                        - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                        AS DOUBLE) / length(text) ELSE 0 END)
+                  <= CAST(0.3 AS DOUBLE)
+             THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        * CAST(0.1 AS DOUBLE)
+    ) * 1e6) AS BIGINT) AS quality_e6
+  FROM (SELECT doc_id, lang, text, {TOKS} AS t FROM documents)
+),
+s AS (
+  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality_e6,
+    CAST(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY quality_e6 DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, lang, n_tokens, quality_e6, cum_tokens FROM s
+WHERE cum_tokens <= 2000
 """,
         "top_customers": """
 SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name,

@@ -1,0 +1,199 @@
+"""Corpus-curation operators: the selection stage of a training-data
+pipeline, run after cleaning/dedup — rule-based quality filtering (Gopher,
+Rae et al. 2021 §A1.1), deterministic hash splits, and token-budget
+sampling.
+
+Everything is JVM-side Column expressions / window functions — no Python
+UDFs — so each operator is one scan (filter, split) or one shuffle
+(budget selection: a window over the stratum key). All are deterministic,
+which is what makes them oracle-checkable and makes reruns reproducible
+at 100 TB (no RNG state to coordinate across executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pagerank_spark.functions.textstats import (
+    STOPWORDS,
+    quality_features,
+    repetition_features,
+    tokens_col,
+)
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_top_line_frac: float = 0.2,
+    max_bullet_line_frac: float = 0.9,
+) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1 Table A1 defaults):
+    per-document boolean columns for each rule plus the conjunction `keep`.
+
+    Rules: token count in [min_tokens, max_tokens]; mean token length in
+    [min, max]; ≥ min_alpha_word_frac of tokens contain a letter;
+    ≥ min_stopword_hits distinct stop words (union of the engine's
+    language profiles); and the repetition caps (duplicate-line /
+    top-line / bullet-line fractions from ``repetition_features``).
+    The top-line cap only applies to docs with ≥ 2 lines — a single-line
+    document's most-common-line fraction is trivially 1.0.
+
+    Keeps every input row (the caller filters on `keep`) so rejection
+    reasons are auditable — the shape a curation pipeline needs to report
+    per-rule loss rates.
+
+    Physical shape: the token rules are one map-only pass; the repetition
+    rules come from repetition_features' explode->groupBy aggregates,
+    joined back on id. One scan + the repetition shuffles, nothing O(n²).
+    """
+    did = F.col(id_col)
+    toks = tokens_col(F.col(text_col))
+    n_toks = F.size(toks)
+    mtl = F.when(
+        n_toks > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / n_toks,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_toks > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_toks,
+    ).otherwise(F.lit(0.0))
+    all_stop = F.array(
+        *[F.lit(w) for words in STOPWORDS.values() for w in words]
+    )
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), all_stop))
+
+    base = docs.select(
+        did.alias("_id"),
+        n_toks.alias("n_tokens"),
+        ((n_toks >= min_tokens) & (n_toks <= max_tokens)).alias("ok_tokens"),
+        ((mtl >= min_mean_token_len) & (mtl <= max_mean_token_len)).alias(
+            "ok_mean_token_len"
+        ),
+        (alpha_frac >= min_alpha_word_frac).alias("ok_alpha_words"),
+        (stop_hits >= min_stopword_hits).alias("ok_stopwords"),
+    )
+    rep = repetition_features(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("_rid"),
+        (F.col("dup_line_frac") <= max_dup_line_frac).alias("ok_dup_lines"),
+        (
+            (F.col("n_lines") < 2) | (F.col("top_line_frac") <= max_top_line_frac)
+        ).alias("ok_top_line"),
+        (F.col("bullet_line_frac") <= max_bullet_line_frac).alias("ok_bullets"),
+    )
+    out = base.join(rep, base["_id"] == rep["_rid"], "inner").drop("_rid")
+    rules = [
+        "ok_tokens",
+        "ok_mean_token_len",
+        "ok_alpha_words",
+        "ok_stopwords",
+        "ok_dup_lines",
+        "ok_top_line",
+        "ok_bullets",
+    ]
+    keep = F.lit(True)
+    for r in rules:
+        keep = keep & F.col(r)
+    return out.select(
+        F.col("_id").alias(id_col), "n_tokens", *rules, keep.alias("keep")
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(salt || id) → bucket in
+    [0, n_buckets) → split label by cumulative weight thresholds.
+
+    Unlike ``DataFrame.randomSplit`` this is a pure function of the row id:
+    re-running on a grown corpus never reassigns an existing document
+    (the property a training pipeline needs so incremental crawls don't
+    leak validation docs into train), and the same doc lands in the same
+    split on every cluster size. The salt makes independent resplits
+    possible. Map-only — no shuffle, no RNG.
+
+    Uses the top 15 hex digits (60 bits) of md5 so the value is exact in
+    a signed 64-bit long on any engine.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = F.col("bucket") < int(round(acc * n_buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = items[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy per-stratum selection under a token budget: rank documents by
+    quality (descending, id ascending as the deterministic tie-break) and
+    keep each while the stratum's running token total stays ≤ budget.
+
+    This is the "data mixing" step of corpus assembly — e.g. cap every
+    language at N tokens, taking the highest-quality documents first.
+    Quality is the engine's composite ``quality_score`` discretized to
+    1e-6 (so the ordering is integer-stable across engines/precisions).
+
+    Returns (id_col, stratum_col, n_tokens, quality_e6, cum_tokens) for
+    the selected docs only.
+
+    Physical shape: quality is a map-only pass; the selection is ONE
+    shuffle — a running sum over Window.partitionBy(stratum). Skew note:
+    a window partition is one task per stratum, fine when strata are
+    languages/domains (hundreds); for high-cardinality strata the same
+    shape holds because partitions shrink.
+    """
+    q = quality_features(docs, text_col=text_col).select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("quality_score") * 1e6).cast("long").alias("quality_e6"),
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col("quality_e6").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, stratum_col, "n_tokens", "quality_e6", "cum_tokens")
+    )

@@ -1,0 +1,114 @@
+"""Corpus-curation operators: Gopher rule filter, deterministic hash
+split, token-budget selection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.pipeline.curation import (
+    gopher_filter,
+    hash_split,
+    token_budget_select,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").localCheckpoint(eager=True)
+
+
+def test_gopher_filter_rules_hand_computed(spark):
+    texts = {
+        # long enough, english stopwords, clean -> keep
+        1: "the cat sat on the mat and it was happy with that " * 5,
+        # too short
+        2: "tiny doc with the and of stopwords here",
+        # no stopwords at all (word salad)
+        3: "zxq vbn mlk pqr stu " * 12,
+        # numeric tokens -> fails alpha-word fraction
+        4: ("the and 123 456 789 012 345 678 901 234 " * 6),
+        # heavy duplicate lines -> fails dup-line cap
+        5: "the cat sat on the mat and was glad\n" * 40,
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_filter(df, min_tokens=50).collect()
+    }
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["ok_tokens"] is False
+    assert got[3]["keep"] is False and got[3]["ok_stopwords"] is False
+    assert got[4]["ok_alpha_words"] is False
+    assert got[5]["ok_dup_lines"] is False and got[5]["ok_top_line"] is False
+    # every row is returned, keep == conjunction of the rule columns
+    rules = [
+        "ok_tokens", "ok_mean_token_len", "ok_alpha_words", "ok_stopwords",
+        "ok_dup_lines", "ok_top_line", "ok_bullets",
+    ]
+    assert set(got) == set(texts)
+    for r in got.values():
+        assert r["keep"] == all(r[k] for k in rules)
+
+
+def test_gopher_filter_splits_corpus(spark, docs):
+    # the synthetic corpus has ~1 distinct stopword per doc; relax that rule
+    out = gopher_filter(docs, min_stopword_hits=1).localCheckpoint(eager=True)
+    n = out.count()
+    kept = out.where("keep").count()
+    assert n == docs.count()
+    assert 0 < kept < n  # thresholds are non-degenerate on the corpus
+
+
+def test_hash_split_deterministic_and_stable_under_growth(spark, docs):
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert a == b
+    # adding rows never reassigns existing ones (pure function of id)
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    c = {r["doc_id"]: r["split"] for r in hash_split(half).collect()}
+    assert all(a[k] == v for k, v in c.items())
+    # rough proportions on 200 docs: train is the vast majority
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert counts["train"] > 0.75 * len(a)
+    assert set(counts) <= {"train", "val", "test"}
+
+
+def test_hash_split_salt_changes_assignment(spark, docs):
+    a = {r["doc_id"]: r["bucket"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["bucket"] for r in hash_split(docs, salt="v2").collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_token_budget_select_greedy_prefix(spark, docs):
+    budget = 2000
+    sel = token_budget_select(docs, budget_tokens=budget).collect()
+    by_lang: dict[str, list] = {}
+    for r in sel:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang, "selection is non-empty"
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (-r["quality_e6"], r["doc_id"]))
+        cum = 0
+        for r in rows:
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum
+        assert cum <= budget
+    # the selection is the maximal greedy prefix: the best-quality
+    # unselected doc per lang would overflow the budget
+    all_q = token_budget_select(docs, budget_tokens=10**9).collect()
+    sel_ids = {(r["lang"], r["doc_id"]) for r in sel}
+    for lang, rows in by_lang.items():
+        cum = sum(r["n_tokens"] for r in rows)
+        rest = sorted(
+            (r for r in all_q if r["lang"] == lang and (lang, r["doc_id"]) not in sel_ids),
+            key=lambda r: (-r["quality_e6"], r["doc_id"]),
+        )
+        if rest:
+            assert cum + rest[0]["n_tokens"] > budget
