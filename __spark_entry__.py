@@ -213,6 +213,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.col("dist").cast("int").alias("dist")
         )
 
+    def hyperball_nf(spark, sf):
+        """HyperBall neighborhood-function registers, 2 hops: per (id, t)
+        the exact integer HLL summary (s_int = sum_j 2^(55-r_j), zero
+        register count). All-integer output so the oracle checks the
+        distributed register recurrence itself; the float estimate is a
+        closed form of these two columns (unit-tested vs a Python twin)."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.hyperball import hyperball
+
+        res = hyperball(_edges(spark, sf), t_max=2)
+        return res.balls.select("id", "t", "s_int", "zero_regs")
+
     def kcore_coreness(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.algorithms.structure import coreness
@@ -276,6 +288,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a",
             "id_b",
             F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"),
+        )
+
+    def contamination_screen(spark, sf):
+        """Benchmark-decontamination screen: every 25th document doubles as
+        a planted 'benchmark' item, so those docs must flag at overlap 1.0
+        and the rest only via incidental 8-gram collisions."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.contamination import benchmark_contamination
+
+        docs = _docs(spark, sf)
+        bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        res = benchmark_contamination(docs, bench, n=8, min_overlap_frac=0.5)
+        return res.select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("overlap_frac") * 1e6).cast("long").alias("overlap_e6"),
+            F.col("contaminated").cast("int").alias("contaminated"),
         )
 
     def dedup_minhash(spark, sf):
@@ -520,6 +552,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def doc_pii(spark, sf):
+        """PII screening with deterministic planted PII on every 10th doc
+        (same planting expression on the SQL side)."""
+        _spark_ready(spark)
+        from pagerank_spark.functions.textstats import pii_features
+
+        plant = " contact user42@example.com or +1 555-123-4567 at 10.0.0.1"
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 10 == 0, F.lit(plant)).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return pii_features(docs).select(
+            "doc_id",
+            "n_email",
+            "n_ipv4",
+            "n_phone",
+            F.col("has_pii").cast("int").alias("has_pii"),
+        )
+
+    def user_sessions(spark, sf):
+        """Gap-based sessionization of the event stream (6h inactivity
+        gap). Timestamps leave as exact unix microseconds so the compare
+        is integer-only (ts is TIMESTAMP_NTZ; the session runs UTC)."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.sessions import session_stats
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        s = session_stats(ev, gap_seconds=6 * 3600)
+        return s.select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            F.unix_micros(F.col("start_ts").cast("timestamp")).alias("start_us"),
+            "duration_us",
+        )
+
     def windowed_event_stats(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.streaming.stats import windowed_counts
@@ -591,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": pagerank_personalized,
         "clustering_coefficient": clustering_coefficient,
         "bfs_from_seeds": bfs_from_seeds,
+        "hyperball_nf": hyperball_nf,
         "kcore_coreness": kcore_coreness,
         "scc_components": scc_components,
         "graph_stats": graph_stats,
@@ -598,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
+        "contamination_screen": contamination_screen,
         "dedup_canonical": dedup_canonical,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_lsh": dedup_embedding,
@@ -616,7 +689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": token_budget_sample,
         "top_customers": top_customers,
         "pricing_summary": pricing_summary,
+        "doc_pii": doc_pii,
         "user_event_stats": user_event_stats,
+        "user_sessions": user_sessions,
         "windowed_event_stats": windowed_event_stats,
         "media_features": media_features,
         "media_roundtrip": media_roundtrip,
@@ -724,6 +799,33 @@ FROM pairs
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.4
+"""
+    # ---- contamination screen: n=8 shingles both sides, pooled benchmark
+    # shingle set = docs with doc_id % 25 == 0 (the planted benchmark the
+    # Spark entry uses); containment = hits / own shingles
+    _SH8 = (
+        "list_distinct(CASE WHEN len(t) >= 8 THEN list_transform("
+        "range(1, len(t) - 6), i -> "
+        + " || ' ' || ".join("t[i]" if k == 0 else f"t[i+{k}]" for k in range(8))
+        + ") ELSE [list_aggregate(t, 'string_agg', ' ')] END)"
+    )
+    CONTAM = f"""
+WITH toks AS (SELECT doc_id AS id, {TOKS} AS t FROM documents),
+sh AS (SELECT id, {_SH8} AS s FROM toks WHERE len(t) > 0),
+bsh AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE id % 25 = 0),
+inv AS (SELECT id, unnest(s) AS g FROM sh),
+hits AS (SELECT id, COUNT(*) AS n_hit FROM inv
+         WHERE g IN (SELECT g FROM bsh) GROUP BY id),
+sz AS (SELECT id, len(s) AS n_shingles FROM sh)
+SELECT sz.id AS doc_id,
+       CAST(n_shingles AS INTEGER) AS n_shingles,
+       CAST(COALESCE(n_hit, 0) AS INTEGER) AS n_hit,
+       CAST(ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE)
+                  / CAST(n_shingles AS DOUBLE) * 1e6) AS BIGINT) AS overlap_e6,
+       CAST(CASE WHEN CAST(COALESCE(n_hit, 0) AS DOUBLE)
+                      / CAST(n_shingles AS DOUBLE) >= 0.5
+            THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM sz LEFT JOIN hits ON hits.id = sz.id
 """
     # ---- language ID: same stopword profiles + tie-break order as
     # pagerank_spark.functions.textstats.language_id (en,de,it,fr,es)
@@ -1097,6 +1199,38 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 1
             f"ORDER BY s.c DESC, n.nb) AS rn "
             f"FROM nb n JOIN h{r-1} s ON s.id = n.nb) GROUP BY id)"
         )
+    # ---- hyperball: the HLL register recurrence (elementwise max over
+    # out-neighbor counters) unrolled 2 hops in relational form — registers
+    # as (id, j, r) rows, absent rows are zero registers. Same md5 60-bit
+    # hash as the engine (hyperball._hash60); s_int stays exact in BIGINT
+    # (<= 64 * 2^55 = 2^61).
+    _HB_SUM = (
+        "CAST(SUM(1::BIGINT << (55 - r)) + (64 - COUNT(*)) * (1::BIGINT << 55)"
+        " AS BIGINT) AS s_int, CAST(64 - COUNT(*) AS INTEGER) AS zero_regs"
+    )
+    HYPERBALL = f"""
+WITH e AS MATERIALIZED (SELECT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+hh AS (SELECT id, ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h FROM v),
+g0 AS (SELECT id, h % 64 AS j,
+              CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS r
+       FROM hh),
+g1 AS MATERIALIZED (SELECT id, j, MAX(r) AS r FROM (
+        SELECT * FROM g0
+        UNION ALL
+        SELECT e.src AS id, x.j, x.r FROM e JOIN g0 x ON x.id = e.dst
+      ) GROUP BY id, j),
+g2 AS (SELECT id, j, MAX(r) AS r FROM (
+        SELECT * FROM g1
+        UNION ALL
+        SELECT e.src AS id, x.j, x.r FROM e JOIN g1 x ON x.id = e.dst
+      ) GROUP BY id, j)
+SELECT id, 0 AS t, {_HB_SUM} FROM g0 GROUP BY id
+UNION ALL
+SELECT id, 1 AS t, {_HB_SUM} FROM g1 GROUP BY id
+UNION ALL
+SELECT id, 2 AS t, {_HB_SUM} FROM g2 GROUP BY id
+"""
     KCORE = (
         f"WITH und AS MATERIALIZED ({UND}),\n"
         f"nb AS MATERIALIZED (SELECT a AS id, b AS nb FROM und "
@@ -1214,6 +1348,7 @@ FROM c, rc, ag
         "bfs_from_seeds": BFS,
         "pagerank_personalized": PPR3,
         "clustering_coefficient": CLUSTER,
+        "hyperball_nf": HYPERBALL,
         "kcore_coreness": KCORE,
         "scc_components": SCC,
         "graph_stats": GSTATS,
@@ -1224,6 +1359,7 @@ FROM c, rc, ag
             "FROM documents) GROUP BY keep_id"
         ),
         "dedup_ngram_jaccard": NGRAM,
+        "contamination_screen": CONTAM,
         "dedup_minhash_lsh": MINHASH,
         "dedup_canonical": CANON,
         "knn_bruteforce": KNN,
@@ -1400,6 +1536,44 @@ SELECT user_id, COUNT(*) AS n_events,
        COUNT(DISTINCT event_type) AS n_types,
        CAST(ROUND(SUM(value) * 1e4) AS BIGINT) AS sum_value_e4
 FROM events GROUP BY user_id
+""",
+        "doc_pii": """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 10 = 0
+           THEN ' contact user42@example.com or +1 555-123-4567 at 10.0.0.1'
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9\-]+(\.[A-Za-z0-9\-]+)+')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(text, '\\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\+\d{1,2}[ \-]\d{3}[ \-]\d{3}[ \-]\d{4}')) AS INTEGER) AS n_phone,
+  CAST(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9\-]+(\.[A-Za-z0-9\-]+)+'))
+           + len(regexp_extract_all(text, '\\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\\b'))
+           + len(regexp_extract_all(text, '\+\d{1,2}[ \-]\d{3}[ \-]\d{3}[ \-]\d{4}')) > 0
+       THEN 1 ELSE 0 END AS INTEGER) AS has_pii
+FROM d
+""",
+        "user_sessions": """
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+         THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM t
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_seq
 """,
         "windowed_event_stats": """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

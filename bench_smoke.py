@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """At-scale smokes (not part of the per-round bench: minutes-long).
 
-Run:  python bench_smoke.py [triangles|ngram|labelprop|all]
+Run:  python bench_smoke.py [triangles|ngram|labelprop|kcore|scc|hyperball|all]
 
 - triangles: exact triangle count at 10M vertices / 30M edges on local[32]
   (the hint gate flips to shuffle_hash joins here) — proves the
@@ -243,6 +243,39 @@ def smoke_scc(spark, n_vertices=1_000_000, n_edges=8_000_000):
     }
 
 
+def smoke_hyperball(spark, n_vertices=4_000_000, n_edges=16_000_000, t_max=4):
+    """HyperBall at scale (above the 2M broadcast gate -> shuffle-hash
+    hints on): 4 hops of the 64-register max-merge over 16M edges.
+    Invariant is the exact register checksum (count, xor-hash over
+    (id, s_int)) — deterministic seed, so comparable across versions."""
+    from pagerank_spark.algorithms.hyperball import hyperball
+    from pagerank_spark.sources.synthetic import synthetic_edges
+    from pagerank_spark.util import set_checksum
+
+    edges = synthetic_edges(
+        spark, n_vertices, n_edges, seed=45, num_partitions=32
+    ).persist()
+    edges.count()
+    t0 = time.time()
+    res = hyperball(edges, t_max=t_max)
+    last = res.balls.filter(F.col("t") == res.iterations)
+    csum = set_checksum(last, "id", "s_int")
+    wall = time.time() - t0
+    edges.unpersist()
+    return {
+        "smoke": "hyperball",
+        "n_vertices": n_vertices,
+        "n_edges": n_edges,
+        "t_max": t_max,
+        "iterations": res.iterations,
+        "nf": [round(v) for v in res.nf],
+        "effective_diameter": round(res.effective_diameter, 3),
+        "register_checksum": list(csum),
+        "hop_seconds": [round(s, 2) for s in res.iter_seconds],
+        "wall_s": round(wall, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from pagerank_spark.session import get_spark
@@ -259,6 +292,8 @@ def main() -> None:
         print(json.dumps(smoke_kcore(spark)))
     if which in ("scc", "all"):
         print(json.dumps(smoke_scc(spark)))
+    if which in ("hyperball", "all"):
+        print(json.dumps(smoke_hyperball(spark)))
     spark.stop()
 
 

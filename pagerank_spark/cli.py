@@ -256,6 +256,30 @@ def cmd_scc(args) -> int:
     return 0
 
 
+def cmd_hyperball(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.hyperball import harmonic_centrality, hyperball
+
+    edges, _ = _load_edges(spark, args)
+    res = hyperball(edges, t_max=args.t_max)
+    if args.output:
+        res.balls.write.mode("overwrite").parquet(args.output)
+    out = {
+        "iterations": res.iterations,
+        "nf": [round(v, 2) for v in res.nf],
+        "effective_diameter": round(res.effective_diameter, 4),
+    }
+    if args.harmonic:
+        hc = harmonic_centrality(edges, t_max=args.t_max)
+        top = hc.orderBy(F.desc("harmonic"), F.asc("id")).limit(5).collect()
+        out["top_harmonic"] = [
+            {"id": int(r["id"]), "harmonic": round(float(r["harmonic"]), 3)}
+            for r in top
+        ]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_summary(args) -> int:
     spark = _spark(args)
     from pagerank_spark.algorithms.structure import graph_summary
@@ -361,6 +385,15 @@ def main(argv: list[str] | None = None) -> int:
     sc = sub.add_parser("scc", help="strongly connected components")
     graph_args(sc)
     sc.set_defaults(fn=cmd_scc)
+
+    hb = sub.add_parser(
+        "hyperball",
+        help="HyperBall neighborhood function / effective diameter / harmonic",
+    )
+    graph_args(hb)
+    hb.add_argument("--t-max", type=int, default=16)
+    hb.add_argument("--harmonic", action="store_true")
+    hb.set_defaults(fn=cmd_hyperball)
 
     gs = sub.add_parser("summary", help="whole-graph summary stats")
     graph_args(gs)

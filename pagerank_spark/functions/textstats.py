@@ -286,3 +286,43 @@ def repetition_features(
         .otherwise(0.0)
         .alias("top_bigram_frac"),
     )
+
+
+# ------------------------------------------------------------------ PII scan
+# Patterns restricted to the Java-regex ∩ RE2 common dialect (no lookaround,
+# no backreferences) so the DuckDB oracle runs the IDENTICAL strings —
+# leftmost non-overlapping match enumeration agrees between engines.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9\-]+(\.[A-Za-z0-9\-]+)+",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,2}[ \-]\d{3}[ \-]\d{3}[ \-]\d{4}",
+}
+
+
+def pii_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds per-doc PII match counts (n_email, n_ipv4, n_phone) and
+    ``has_pii`` — the screening stage a pretraining pipeline runs before
+    release. Pure Column expressions (regexp_extract_all), JVM-side,
+    map-only plan."""
+    out = docs
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+    cols = [F.col(f"n_{name}") for name in PII_PATTERNS]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    return out.withColumn("has_pii", total > 0)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replaces every PII match in ``text_col`` with a typed placeholder
+    (``<EMAIL>``/``<IPV4>``/``<PHONE>``) in a new ``redacted`` column.
+    Email first: an address would otherwise leave its domain behind after
+    IP redaction of dotted-quad-looking hosts."""
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.withColumn("redacted", red)

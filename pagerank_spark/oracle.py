@@ -394,3 +394,47 @@ def weighted_pagerank_numpy(
         if delta < eps:
             break
     return r / np.abs(r).sum()
+
+
+def hyperball_numpy(
+    edges: np.ndarray, t_max: int, reverse: bool = False
+) -> tuple[dict[tuple[int, int], tuple[int, int]], dict[tuple[int, int], int]]:
+    """Exact simulation of algorithms.hyperball's HLL registers: per (id, t)
+    the (s_int, zero_regs) summary, plus the EXACT ball size |B(id, t)| for
+    estimate-quality checks. Vertices are the distinct edge endpoints, the
+    hash is the engine's md5 60-bit convention, m=64, rho in [1, 55]."""
+    import hashlib
+
+    M, B, RHO_MAX = 64, 6, 55
+    arr = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    if reverse:
+        arr = arr[:, ::-1]
+    verts = sorted({int(x) for x in arr.ravel()})
+    out: dict[int, set[int]] = {v: set() for v in verts}
+    for u, v in arr:
+        if int(u) != int(v):
+            out[int(u)].add(int(v))
+
+    def jrho(x: int) -> tuple[int, int]:
+        h = int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+        rem = h >> B
+        return h % M, (RHO_MAX - rem.bit_length()) if rem else RHO_MAX
+
+    balls = {v: {v} for v in verts}
+    summaries: dict[tuple[int, int], tuple[int, int]] = {}
+    exact: dict[tuple[int, int], int] = {}
+    for t in range(t_max + 1):
+        if t > 0:
+            balls = {
+                v: balls[v].union(*(balls[w] for w in out[v])) if out[v] else balls[v]
+                for v in verts
+            }
+        for v in verts:
+            regs = [0] * M
+            for w in balls[v]:
+                j, rho = jrho(w)
+                regs[j] = max(regs[j], rho)
+            s_int = sum(1 << (RHO_MAX - r) for r in regs)
+            summaries[(v, t)] = (s_int, sum(1 for r in regs if r == 0))
+            exact[(v, t)] = len(balls[v])
+    return summaries, exact

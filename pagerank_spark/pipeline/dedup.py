@@ -107,6 +107,40 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return hashed.join(keep, "h").select(id_col, "keep_id")
 
 
+def shingle_table(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, sh array<string>): distinct word n-gram shingles per doc,
+    entirely JVM-side (split/transform built-ins). Docs shorter than n
+    tokens contribute their whole token string as one shingle; empty docs
+    are dropped (matches the Python shingles() helper and the DuckDB
+    oracles' len(t) > 0 filter). Shared by the Jaccard dedup and the
+    benchmark-contamination screen."""
+    from pagerank_spark.util import widen_partitions
+
+    # shingling is a compute-heavy per-row stage (interpreted higher-order
+    # transform): spread it across the session parallelism even when the
+    # input is a single file split
+    toks = widen_partitions(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    return toks.select(
+        "id",
+        F.array_distinct(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join("toks", " ")))
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+
 # ------------------------------------------------------- n-gram jaccard
 def ngram_jaccard_pairs(
     docs: DataFrame,
@@ -138,32 +172,9 @@ def ngram_jaccard_pairs(
     explicitly opt into the uncapped O(f^2)-per-hot-shingle plan (tiny
     corpora / oracle comparisons).
     """
-    from pagerank_spark.util import widen_partitions
-
     if max_shingle_df == "auto":
         max_shingle_df = max(1000, docs.count() // 100)
-    # shingling is a compute-heavy per-row stage (interpreted higher-order
-    # transform): spread it across the session parallelism even when the
-    # input is a single file split
-    toks = widen_partitions(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
-        ).alias("toks"),
-    ).filter(F.size("toks") > 0)  # empty docs have no shingles (matches the
-    # Python shingles() helper and the DuckDB oracle's len(t) > 0 filter)
-    sh = toks.select(
-        "id",
-        F.array_distinct(
-            F.when(
-                F.size("toks") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - n),
-                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
-                ),
-            ).otherwise(F.array(F.array_join("toks", " ")))
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    sh = shingle_table(docs, n=n, id_col=id_col, text_col=text_col)
     # the shingle table feeds the inverted index, the size table, and (on
     # the capped path) the exact re-score join — materialize it once instead
     # of re-running the tokenizer/shingler 3-4x per consumer. Executor-local

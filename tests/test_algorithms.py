@@ -352,3 +352,88 @@ def test_weighted_pagerank_uniform_weights_match_plain(spark):
     exp = {r["id"]: r["rank"] for r in res.ranks.collect()}
     for i in range(n):
         assert abs(got[i] - exp[i]) < 1e-12
+
+
+# -------------------------------------------------------------- hyperball
+@pytest.mark.parametrize("name", ["chain_8", "cycle_8", "star_hub", "two_islands"])
+def test_hyperball_registers_exact(spark, name):
+    """The distributed register recurrence must equal a pure-Python HLL
+    simulation bit-for-bit (same md5 hash, same max-merge) — the estimate
+    is then a deterministic closed form of these integers."""
+    from pagerank_spark.algorithms.hyperball import hyperball
+    from pagerank_spark.oracle import hyperball_numpy
+
+    arr, _ = micro_graphs()[name]
+    res = hyperball(edges_from_numpy(spark, arr), t_max=12)
+    got = {
+        (r["id"], r["t"]): (r["s_int"], r["zero_regs"]) for r in res.balls.collect()
+    }
+    sim, _ = hyperball_numpy(arr, res.iterations)
+    assert got == sim
+
+
+def test_hyperball_fixpoint_stops_early(spark):
+    from pagerank_spark.algorithms.hyperball import hyperball
+
+    arr, _ = micro_graphs()["chain_8"]
+    res = hyperball(edges_from_numpy(spark, arr), t_max=30)
+    # chain 0->..->7: ball(0) stops growing at t=7, everyone else earlier
+    assert res.iterations == 7
+    assert len(res.nf) == 8
+    # NF is monotone non-decreasing in t (counters only grow)
+    assert all(b >= a - 1e-9 for a, b in zip(res.nf, res.nf[1:]))
+
+
+def test_hyperball_estimate_quality(spark):
+    """On the 2319-vertex mirror graph the HLL estimates must track exact
+    BFS ball sizes within the m=64 error regime (rsd ~13%; the MEAN abs
+    relative error over 2319 vertices should be well under 2 rsd), and the
+    whole-graph NF(t) sum should concentrate much tighter."""
+    from pagerank_spark.algorithms.hyperball import hyperball
+    from pagerank_spark.oracle import hyperball_numpy
+
+    arr, _ = micro_graphs()["test1_mirror"]
+    t = 2
+    res = hyperball(edges_from_numpy(spark, arr), t_max=t)
+    est = {r["id"]: r["ball_est"] for r in res.balls.filter(F.col("t") == t).collect()}
+    _, exact = hyperball_numpy(arr, t)
+    rel = [abs(est[v] - exact[(v, t)]) / exact[(v, t)] for v in est]
+    assert sum(rel) / len(rel) < 0.26
+    nf_exact = sum(exact[(v, t)] for v in est)
+    assert abs(res.nf[t] - nf_exact) / nf_exact < 0.10
+
+
+def test_harmonic_centrality_star_and_chain(spark):
+    from pagerank_spark.algorithms.hyperball import harmonic_centrality
+
+    star, _ = micro_graphs()["star_hub"]
+    hc = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(edges_from_numpy(spark, star), t_max=4).collect()
+    }
+    # hub receives from all 8 spokes at distance 1 -> H(0) ~ 8, spokes get 0
+    assert max(hc, key=hc.get) == 0
+    assert abs(hc[0] - 8.0) / 8.0 < 0.25
+    assert all(v == 0.0 for k, v in hc.items() if k != 0)
+
+    chain, _ = micro_graphs()["chain_8"]
+    hc = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(edges_from_numpy(spark, chain), t_max=10).collect()
+    }
+    # directed chain 0->...->7: the sink 7 is reachable from everyone
+    assert max(hc, key=hc.get) == 7
+    assert hc[0] == 0.0
+
+
+def test_hyperball_estimate_py_equals_expr(spark):
+    from pagerank_spark.algorithms.hyperball import estimate_expr, estimate_py
+
+    rows = [(64 * (1 << 55),), (100_000_000,), (37 * (1 << 55) + 12345,)]
+    df = spark.createDataFrame(rows, "s_int long").withColumn(
+        "zero_regs",
+        F.when(F.col("s_int") == 64 * (1 << 55), 64).otherwise(F.lit(3)),
+    )
+    got = df.select("s_int", "zero_regs", estimate_expr(F.col("s_int"), F.col("zero_regs")).alias("e")).collect()
+    for r in got:
+        assert abs(r["e"] - estimate_py(r["s_int"], r["zero_regs"])) < 1e-9

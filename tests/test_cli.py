@@ -188,3 +188,17 @@ def test_cli_structure_subcommands():
     r = run_cli("summary", "--graph-file", gf)
     assert r["n_vertices"] == 2319 and r["n_edges"] == 5000
     assert r["reciprocity"] == 0.0 and r["n_self_loops"] == 0
+
+
+def test_cli_hyperball_subcommand():
+    """hyperball is drivable from the CLI over the golden .graph: NF is
+    monotone, NF(0) == n_vertices exactly is NOT required (HLL estimate)
+    but must land within the m=64 small-range regime."""
+    gf = "/root/reference/Pagerank/src/test1.graph"
+
+    r = run_cli("hyperball", "--graph-file", gf, "--t-max", "4", "--harmonic")
+    assert len(r["nf"]) == 5 and r["iterations"] == 4
+    assert all(b >= a for a, b in zip(r["nf"], r["nf"][1:]))
+    assert abs(r["nf"][0] - 2319) / 2319 < 0.15
+    assert 0.0 <= r["effective_diameter"] <= 4.0
+    assert len(r["top_harmonic"]) == 5

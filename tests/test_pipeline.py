@@ -348,3 +348,134 @@ def test_canonical_docs_transitive_clusters(spark):
         4: (4, True), 5: (5, True), 6: (6, True),
         7: (7, True), 8: (8, True), 9: (7, False),
     }
+
+
+# ------------------------------------------------------ contamination screen
+def test_benchmark_contamination_planted(spark):
+    from pagerank_spark.pipeline.contamination import benchmark_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "a completely different document about spark physical plans"),
+            (3, "the quick brown fox jumps over something else entirely today"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "bench_id long, text string",
+    )
+    res = {
+        r["doc_id"]: r
+        for r in benchmark_contamination(
+            corpus, bench, n=3, min_overlap_frac=0.5
+        ).collect()
+    }
+    # expected via the Python shingle twin
+    from pagerank_spark.pipeline.dedup import shingles
+
+    bset = shingles("the quick brown fox jumps over the lazy dog tonight", 3)
+    for did, text in [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "a completely different document about spark physical plans"),
+        (3, "the quick brown fox jumps over something else entirely today"),
+    ]:
+        s = shingles(text, 3)
+        assert res[did]["n_shingles"] == len(s)
+        assert res[did]["n_hit"] == len(s & bset)
+        assert abs(res[did]["overlap_frac"] - len(s & bset) / len(s)) < 1e-12
+        assert res[did]["contaminated"] == (len(s & bset) / len(s) >= 0.5)
+    assert 4 not in res  # empty docs have no shingles
+    assert res[1]["contaminated"] and not res[2]["contaminated"]
+
+
+def test_benchmark_contamination_no_overlap(spark):
+    from pagerank_spark.pipeline.contamination import benchmark_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "one two three four five six seven")], "bench_id long, text string"
+    )
+    row = benchmark_contamination(corpus, bench, n=3).collect()[0]
+    assert row["n_hit"] == 0 and row["overlap_frac"] == 0.0
+    assert not row["contaminated"]
+
+
+def test_benchmark_contamination_broadcasts_small_bench(spark):
+    """The pooled benchmark shingle set must arrive via broadcast — the
+    corpus side is never shuffled for the probe."""
+    from pagerank_spark.pipeline.contamination import benchmark_contamination
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} with some shared words here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "doc number 1 with some shared words here")], "bench_id long, text string"
+    )
+    df = benchmark_contamination(corpus, bench, n=3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ----------------------------------------------------------- sessionization
+def test_sessionize_planted_gaps(spark):
+    from datetime import datetime
+
+    from pagerank_spark.pipeline.sessions import session_stats, sessionize
+
+    def ts(m, us=0):
+        return datetime(2024, 1, 1, 0, m, 0, us)
+
+    rows = [
+        # user 1: 3 events tight, then a 45-min gap, then 2 more
+        (1, 1, ts(0)), (2, 1, ts(5)), (3, 1, ts(10)),
+        (4, 1, ts(55)), (5, 1, ts(56)),
+        # user 2: single event
+        (6, 2, ts(7)),
+        # user 3: equal timestamps -> event_id tie-break, same session
+        (7, 3, ts(1)), (8, 3, ts(1)),
+        # user 4: gap of EXACTLY 1800s is NOT a new session (strict >),
+        # 1800s + 1us IS
+        (9, 4, ts(0)), (10, 4, ts(30)), (11, 4, datetime(2024, 1, 1, 1, 0, 0, 1)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    tagged = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    assert tagged == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1, 7: 1, 8: 1,
+                      9: 1, 10: 1, 11: 2}
+
+    stats = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_us"])
+        for r in session_stats(ev, gap_seconds=1800).collect()
+    }
+    assert stats[(1, 1)] == (3, 10 * 60 * 1_000_000)
+    assert stats[(1, 2)] == (2, 60 * 1_000_000)
+    assert stats[(2, 1)] == (1, 0)
+    assert stats[(3, 1)] == (2, 0)
+    assert stats[(4, 1)] == (2, 30 * 60 * 1_000_000)
+    assert stats[(4, 2)] == (1, 0)
+
+
+def test_sessionize_single_shuffle(spark):
+    """Sessionization plans exactly one shuffle: the user_id window
+    partition also serves the downstream per-session aggregation."""
+    from pagerank_spark.pipeline.sessions import session_stats
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = session_stats(ev)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, plan[:2000]

@@ -408,3 +408,55 @@ def test_coreness_round_exchanges_move_only_candidates(spark):
     assert sh <= 3, f"coreness round planned {sh} shuffle exchanges, want <= 3"
     nbrs_by_nb.unpersist()
     nbrs_by_id.unpersist()
+
+
+def test_hyperball_hop_single_exchange(spark):
+    """A HyperBall hop keeps the iterative-loop contract: the ball-pull join
+    consumes the edge cache's hash(dst) x the state checkpoint's hash(id),
+    the 64-wide register max-merge is the ONE shuffle, and the own-ball fold
+    join consumes hash(id) x hash(src)."""
+    from pagerank_spark.algorithms.hyperball import _hop, _init_registers
+    from pagerank_spark.sources.synthetic import synthetic_edges
+    from pagerank_spark.util import static_plan
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = synthetic_edges(spark, 300, 3000, seed=7, num_partitions=4)
+    e_dst = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(p, "dst")
+        .persist()
+    )
+    e_dst.count()
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    with static_plan(spark):
+        state = (
+            _init_registers(verts).repartition(p, "id").localCheckpoint(eager=True)
+        )
+
+    def no_bcast(df):
+        return df.hint("shuffle_hash")
+
+    sh, _bc = _exchanges(_hop(e_dst, state, no_bcast))
+    assert sh == 1, f"hyperball hop planned {sh} shuffle exchanges, want 1"
+
+    # chained off the previous hop's checkpoint, as the run loop does
+    with static_plan(spark):
+        state2 = _hop(e_dst, state, no_bcast).localCheckpoint(eager=True)
+    sh2, _ = _exchanges(_hop(e_dst, state2, no_bcast))
+    assert sh2 == 1, f"chained hyperball hop planned {sh2} exchanges, want 1"
+
+    # the real above-gate path hints MERGE (spill-safe for the 65-field
+    # state rows): sort-merge must reuse the same partitionings — still one
+    # exchange, and no hash relation build anywhere
+    def merge_hint(df):
+        return df.hint("merge")
+
+    sh3, _ = _exchanges(_hop(e_dst, state2, merge_hint))
+    assert sh3 == 1, f"merge-hinted hyperball hop planned {sh3} exchanges, want 1"
+    e_dst.unpersist()

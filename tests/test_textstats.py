@@ -172,3 +172,46 @@ def test_repetition_features_detects_boilerplate(spark, docs):
     for r in rows.values():
         for c in ("dup_line_frac", "top_line_frac", "bullet_line_frac", "top_bigram_frac"):
             assert 0.0 <= r[c] <= 1.0
+
+
+# ------------------------------------------------------------------ PII scan
+def test_pii_features_planted(spark):
+    from pagerank_spark.functions.textstats import pii_features, redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at alice.smith+news@sub.example.co.uk today"),
+            (2, "server at 10.0.0.1 and 192.168.001.255 replied"),
+            (3, "call +1 555-123-4567 maybe"),
+            (4, "nothing sensitive here, just 3.14 and v1.2.3 strings"),
+            (5, "two mails: a@b.io c@d.org and ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_features(docs).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (1, 0, 0)
+    assert (rows[2]["n_email"], rows[2]["n_ipv4"], rows[2]["n_phone"]) == (0, 2, 0)
+    assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_phone"]) == (0, 0, 1)
+    assert (rows[4]["n_email"], rows[4]["n_ipv4"], rows[4]["n_phone"]) == (0, 0, 0)
+    assert (rows[5]["n_email"], rows[5]["n_ipv4"]) == (2, 1)
+    assert rows[5]["has_pii"] and not rows[4]["has_pii"]
+
+    red = {r["doc_id"]: r["redacted"] for r in redact_pii(docs).collect()}
+    assert red[1] == "reach me at <EMAIL> today"
+    assert red[2] == "server at <IPV4> and <IPV4> replied"
+    assert red[3] == "call <PHONE> maybe"
+    assert red[4] == docs.filter(F.col("doc_id") == 4).first()["text"]
+    assert "<EMAIL>" in red[5] and "<IPV4>" in red[5]
+
+
+def test_pii_plan_is_map_only(spark):
+    from pagerank_spark.functions.textstats import pii_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = pii_features(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan
+    assert "Exchange" not in plan
