@@ -183,6 +183,12 @@ def main() -> None:
         "label_propagation_2iter",
         lambda: label_propagation(med_edges, verts, max_iter=2, check_convergence=False).count(),
     )
+    from pagerank_spark.algorithms.hyperball import hyperball
+
+    timed_median(
+        "hyperball_3hop",
+        lambda: hyperball(med_edges, t_max=3).balls.count(),
+    )
     med_edges.unpersist()
 
     # ---- extraction pipeline (pages -> edges) ----
