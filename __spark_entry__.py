@@ -225,6 +225,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = hyperball(_edges(spark, sf), t_max=2)
         return res.balls.select("id", "t", "s_int", "zero_regs")
 
+    def random_walks_q(spark, sf):
+        """Seeded uniform random walks (graph-embedding corpus generation):
+        deterministic md5-argmin next-hop rule, byte-reproducible in SQL."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.walks import random_walks
+
+        return random_walks(
+            _edges(spark, sf), walk_length=3, walks_per_node=2, seed=7
+        ).select("start_id", "walk", "step", "id")
+
     def kcore_coreness(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.algorithms.structure import coreness
@@ -663,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": clustering_coefficient,
         "bfs_from_seeds": bfs_from_seeds,
         "hyperball_nf": hyperball_nf,
+        "random_walks": random_walks_q,
         "kcore_coreness": kcore_coreness,
         "scc_components": scc_components,
         "graph_stats": graph_stats,
@@ -1199,6 +1210,29 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 1
             f"ORDER BY s.c DESC, n.nb) AS rn "
             f"FROM nb n JOIN h{r-1} s ON s.id = n.nb) GROUP BY id)"
         )
+    # ---- random walks: 3 unrolled argmin steps, same md5 hash key as
+    # walks._choice_hash ("{seed}_{start}_{walk}_{step}_{nb}")
+    def _wh(step):
+        return ("('0x' || substr(md5('7_' || start_id || '_' || walk || '_' || "
+                f"{step} || '_' || dst), 1, 15))::UBIGINT")
+
+    WALKS = f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+st AS (SELECT DISTINCT src AS start_id FROM e),
+w AS (SELECT start_id, CAST(walk AS BIGINT) AS walk
+      FROM st CROSS JOIN (VALUES (0), (1)) AS t(walk)),
+f0 AS (SELECT start_id, walk, start_id AS cur FROM w),
+f1 AS (SELECT start_id, walk, arg_min(dst, {_wh(1)}) AS cur
+       FROM f0 JOIN e ON e.src = f0.cur GROUP BY start_id, walk),
+f2 AS (SELECT start_id, walk, arg_min(dst, {_wh(2)}) AS cur
+       FROM f1 JOIN e ON e.src = f1.cur GROUP BY start_id, walk),
+f3 AS (SELECT start_id, walk, arg_min(dst, {_wh(3)}) AS cur
+       FROM f2 JOIN e ON e.src = f2.cur GROUP BY start_id, walk)
+SELECT start_id, walk, 0 AS step, cur AS id FROM f0
+UNION ALL SELECT start_id, walk, 1 AS step, cur FROM f1
+UNION ALL SELECT start_id, walk, 2 AS step, cur FROM f2
+UNION ALL SELECT start_id, walk, 3 AS step, cur FROM f3
+"""
     # ---- hyperball: the HLL register recurrence (elementwise max over
     # out-neighbor counters) unrolled 2 hops in relational form — registers
     # as (id, j, r) rows, absent rows are zero registers. Same md5 60-bit
@@ -1349,6 +1383,7 @@ FROM c, rc, ag
         "pagerank_personalized": PPR3,
         "clustering_coefficient": CLUSTER,
         "hyperball_nf": HYPERBALL,
+        "random_walks": WALKS,
         "kcore_coreness": KCORE,
         "scc_components": SCC,
         "graph_stats": GSTATS,

@@ -438,3 +438,34 @@ def hyperball_numpy(
             summaries[(v, t)] = (s_int, sum(1 for r in regs if r == 0))
             exact[(v, t)] = len(balls[v])
     return summaries, exact
+
+
+def random_walks_numpy(
+    edges: np.ndarray, walk_length: int, walks_per_node: int, seed: int
+) -> dict[tuple[int, int, int], int]:
+    """Exact twin of algorithms.walks.random_walks: {(start, walk, step):
+    vertex}. Same md5 argmin next-hop rule, walks stop at dangling."""
+    import hashlib
+    from collections import defaultdict
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    for u, v in np.asarray(edges, dtype=np.int64).reshape(-1, 2):
+        adj[int(u)].append(int(v))
+    adj = {u: sorted(set(vs)) for u, vs in adj.items()}
+
+    def h(s, w, t, nb):
+        key = f"{seed}_{s}_{w}_{t}_{nb}".encode()
+        return int(hashlib.md5(key).hexdigest()[:15], 16)
+
+    out: dict[tuple[int, int, int], int] = {}
+    for s in adj:
+        for w in range(walks_per_node):
+            cur = s
+            out[(s, w, 0)] = cur
+            for t in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(nbrs, key=lambda nb: (h(s, w, t, nb), nb))
+                out[(s, w, t)] = cur
+    return out

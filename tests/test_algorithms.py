@@ -437,3 +437,34 @@ def test_hyperball_estimate_py_equals_expr(spark):
     got = df.select("s_int", "zero_regs", estimate_expr(F.col("s_int"), F.col("zero_regs")).alias("e")).collect()
     for r in got:
         assert abs(r["e"] - estimate_py(r["s_int"], r["zero_regs"])) < 1e-9
+
+
+# ----------------------------------------------------------- random walks
+@pytest.mark.parametrize("name", ["chain_8", "cycle_8", "star_hub", "two_islands"])
+def test_random_walks_exact(spark, name):
+    """The distributed walk must equal the Python twin exactly — same md5
+    argmin rule, same dangling termination."""
+    from pagerank_spark.algorithms.walks import random_walks
+    from pagerank_spark.oracle import random_walks_numpy
+
+    arr, _ = micro_graphs()[name]
+    got = {
+        (r["start_id"], r["walk"], r["step"]): r["id"]
+        for r in random_walks(
+            edges_from_numpy(spark, arr), walk_length=5, walks_per_node=2, seed=7
+        ).collect()
+    }
+    assert got == random_walks_numpy(arr, 5, 2, 7)
+
+
+def test_random_walks_seed_changes_paths(spark):
+    from pagerank_spark.algorithms.walks import random_walks
+
+    arr, _ = micro_graphs()["test1_mirror"]
+    e = edges_from_numpy(spark, arr)
+    a = {(r["start_id"], r["walk"], r["step"]): r["id"]
+         for r in random_walks(e, 3, 1, seed=1).collect()}
+    b = {(r["start_id"], r["walk"], r["step"]): r["id"]
+         for r in random_walks(e, 3, 1, seed=2).collect()}
+    assert set(a) - set(b) == set() or a != b  # same starts, different paths
+    assert a != b
