@@ -235,6 +235,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _edges(spark, sf), walk_length=3, walks_per_node=2, seed=7
         ).select("start_id", "walk", "step", "id")
 
+    def co_citation_q(spark, sf):
+        """Co-citation relatedness pairs (uncapped on the tiny driver graph;
+        the fan-out cap has its own pytest)."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import co_citation
+
+        return co_citation(_edges(spark, sf), min_count=2, max_src_fanout=None)
+
     def kcore_coreness(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.algorithms.structure import coreness
@@ -674,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_from_seeds": bfs_from_seeds,
         "hyperball_nf": hyperball_nf,
         "random_walks": random_walks_q,
+        "co_citation": co_citation_q,
         "kcore_coreness": kcore_coreness,
         "scc_components": scc_components,
         "graph_stats": graph_stats,
@@ -1210,6 +1219,12 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 1
             f"ORDER BY s.c DESC, n.nb) AS rn "
             f"FROM nb n JOIN h{r-1} s ON s.id = n.nb) GROUP BY id)"
         )
+    COCIT = f"""
+WITH e AS MATERIALIZED (SELECT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst)
+SELECT x.dst AS a, y.dst AS b, COUNT(*) AS n_common_src
+FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+GROUP BY a, b HAVING COUNT(*) >= 2
+"""
     # ---- random walks: 3 unrolled argmin steps, same md5 hash key as
     # walks._choice_hash ("{seed}_{start}_{walk}_{step}_{nb}")
     def _wh(step):
@@ -1384,6 +1399,7 @@ FROM c, rc, ag
         "clustering_coefficient": CLUSTER,
         "hyperball_nf": HYPERBALL,
         "random_walks": WALKS,
+        "co_citation": COCIT,
         "kcore_coreness": KCORE,
         "scc_components": SCC,
         "graph_stats": GSTATS,

@@ -465,3 +465,67 @@ def weighted_pagerank(
     ew.unpersist()
     norm = state.agg(F.sum(F.abs(F.col("rank")))).first()[0]
     return state.select("id", (F.col("rank") / F.lit(float(norm))).alias("rank"))
+
+
+def co_citation(
+    edges: DataFrame,
+    min_count: int = 2,
+    max_src_fanout: int | None | str = "auto",
+) -> DataFrame:
+    """Co-citation pairs (Small 1973): (a, b, n_common_src) — the number of
+    pages whose out-links include BOTH a and b (a < b), the classic
+    link-based relatedness signal for web pages.
+
+    The pair generation is a self-join keyed on src, so one hub source with
+    outdeg f emits f^2 pairs — the same blowup class as the dedup module's
+    hot shingles, with the same treatment: sources with outdeg >
+    ``max_src_fanout`` are EXCLUDED from pair generation ("auto" = 1000;
+    None opts into the uncapped plan). Unlike the shingle cap there is no
+    exact re-score: a hub source's co-citations are dropped, not deferred —
+    a page linking to thousands of targets is a directory/boilerplate page
+    whose co-citation signal is noise (documented approximation; counts
+    among surviving pairs are exact contributions of non-hub sources).
+
+    Physical plan: one repartition on src serves the fanout filter's
+    semi-join AND both sides of the self-join (alias projections of the
+    same cached partitioning — the triangles wedge recipe); the pair count
+    is the one real shuffle, with map-side partial counts.
+    """
+    spark = edges.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    if max_src_fanout == "auto":
+        max_src_fanout = 1000
+    by_src = e.repartition(shuffle_p, "src")
+    if max_src_fanout is not None:
+        deg = by_src.groupBy("src").agg(F.count(F.lit(1)).alias("f"))
+        keep = deg.filter(F.col("f") <= max_src_fanout).select("src")
+        by_src = by_src.join(keep, "src", "left_semi")
+    by_src = by_src.persist()
+    by_src.count()
+    a = by_src.select("src", F.col("dst").alias("a"))
+    b = by_src.select("src", F.col("dst").alias("b"))
+    pairs = (
+        a.join(b, "src")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common_src"))
+        .filter(F.col("n_common_src") >= min_count)
+    )
+    return pairs
+
+
+def bibliographic_coupling(
+    edges: DataFrame,
+    min_count: int = 2,
+    max_dst_fanin: int | None | str = "auto",
+) -> DataFrame:
+    """Bibliographic-coupling pairs (Kessler 1963): (a, b, n_common_dst) —
+    the number of pages that BOTH a and b link to (a < b). Exactly
+    co-citation on the transposed graph; the fan-in cap plays the hub role
+    (a page cited by everyone says nothing about its citers' relatedness).
+    """
+    t = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return co_citation(t, min_count=min_count, max_src_fanout=max_dst_fanin).select(
+        "a", "b", F.col("n_common_src").alias("n_common_dst")
+    )

@@ -468,3 +468,63 @@ def test_random_walks_seed_changes_paths(spark):
          for r in random_walks(e, 3, 1, seed=2).collect()}
     assert set(a) - set(b) == set() or a != b  # same starts, different paths
     assert a != b
+
+
+# ------------------------------------------- co-citation / biblio coupling
+def test_co_citation_exact(spark):
+    from itertools import combinations
+
+    from pagerank_spark.algorithms.linkanalysis import (
+        bibliographic_coupling,
+        co_citation,
+    )
+
+    arr, _ = micro_graphs()["test1_mirror"]
+    e = edges_from_numpy(spark, arr)
+    got = {
+        (r["a"], r["b"]): r["n_common_src"]
+        for r in co_citation(e, min_count=2, max_src_fanout=None).collect()
+    }
+    # python twin
+    from collections import defaultdict
+
+    outs = defaultdict(set)
+    for u, v in arr:
+        if u != v:
+            outs[int(u)].add(int(v))
+    exp = defaultdict(int)
+    for _, ds in outs.items():
+        for x, y in combinations(sorted(ds), 2):
+            exp[(x, y)] += 1
+    exp = {k: v for k, v in exp.items() if v >= 2}
+    assert got == exp
+
+    got_bc = {
+        (r["a"], r["b"]): r["n_common_dst"]
+        for r in bibliographic_coupling(e, min_count=2, max_dst_fanin=None).collect()
+    }
+    ins = defaultdict(set)
+    for u, v in arr:
+        if u != v:
+            ins[int(v)].add(int(u))
+    exp_bc = defaultdict(int)
+    for _, ss in ins.items():
+        for x, y in combinations(sorted(ss), 2):
+            exp_bc[(x, y)] += 1
+    exp_bc = {k: v for k, v in exp_bc.items() if v >= 2}
+    assert got_bc == exp_bc
+
+
+def test_co_citation_fanout_cap_drops_hub_sources(spark):
+    from pagerank_spark.algorithms.linkanalysis import co_citation
+
+    # source 0 is a directory page linking to 10 targets; source 1 links 2
+    rows = [(0, d) for d in range(10, 20)] + [(1, 11), (1, 12)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    uncapped = {(r["a"], r["b"]): r["n_common_src"]
+                for r in co_citation(e, min_count=1, max_src_fanout=None).collect()}
+    assert uncapped[(11, 12)] == 2 and len(uncapped) == 45
+    capped = {(r["a"], r["b"]): r["n_common_src"]
+              for r in co_citation(e, min_count=1, max_src_fanout=5).collect()}
+    # hub source 0 excluded: only source 1's single pair remains, count 1
+    assert capped == {(11, 12): 1}
