@@ -1588,7 +1588,7 @@ SELECT user_id, COUNT(*) AS n_events,
        CAST(ROUND(SUM(value) * 1e4) AS BIGINT) AS sum_value_e4
 FROM events GROUP BY user_id
 """,
-        "doc_pii": """
+        "doc_pii": r"""
 WITH d AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 10 = 0
@@ -1598,10 +1598,10 @@ WITH d AS (
 )
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9\-]+(\.[A-Za-z0-9\-]+)+')) AS INTEGER) AS n_email,
-  CAST(len(regexp_extract_all(text, '\\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
   CAST(len(regexp_extract_all(text, '\+\d{1,2}[ \-]\d{3}[ \-]\d{3}[ \-]\d{4}')) AS INTEGER) AS n_phone,
   CAST(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9\-]+(\.[A-Za-z0-9\-]+)+'))
-           + len(regexp_extract_all(text, '\\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\\b'))
+           + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
            + len(regexp_extract_all(text, '\+\d{1,2}[ \-]\d{3}[ \-]\d{3}[ \-]\d{4}')) > 0
        THEN 1 ELSE 0 END AS INTEGER) AS has_pii
 FROM d
