@@ -19,7 +19,7 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 _TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
 _PARA_RE = re.compile(r"<p>(.*?)</p>", re.S)
@@ -65,3 +65,56 @@ def extract_outlinks(pages: DataFrame) -> DataFrame:
 def extract_text(pages: DataFrame) -> DataFrame:
     """pages -> (url, text) with text recomputed from html."""
     return pages.select("url", extract_text_udf(F.col("html")).alias("text"))
+
+
+def extract_anchor_pairs_reference(html: bytes) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs — the reference for the anchor UDF."""
+    return [(a[0], a[1]) for a in _ANCHOR_RE.findall(html.decode("utf-8"))]
+
+
+@F.pandas_udf(ArrayType(StructType([
+    StructField("href", StringType()),
+    StructField("anchor", StringType()),
+])))
+def extract_anchor_pairs_udf(html: pd.Series) -> pd.Series:
+    return html.map(
+        lambda h: [
+            {"href": href, "anchor": anchor}
+            for href, anchor in extract_anchor_pairs_reference(h)
+        ]
+    )
+
+
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (src_url, dst_url, anchor): one row per
+    anchor tag, carrying its link TEXT — the classic target-page ranking
+    signal web search aggregates (anchor text describes the TARGET better
+    than the target's own text; public IR folklore since AltaVista/Google).
+    Explode is JVM-side after the Arrow batch returns."""
+    return pages.select(
+        "url", extract_anchor_pairs_udf(F.col("html")).alias("pairs")
+    ).select(
+        F.col("url").alias("src_url"),
+        F.explode("pairs").alias("p"),
+    ).select("src_url", F.col("p.href").alias("dst_url"), F.col("p.anchor").alias("anchor"))
+
+
+def anchor_text_summary(anchors: DataFrame, k: int = 3) -> DataFrame:
+    """-> (dst_url, n_inlinks, top_anchors array<string>): per target, the
+    in-link count and the k most frequent anchor strings (count desc, text
+    asc — deterministic). Two aggregations keyed on the same dst_url: the
+    (dst, anchor) count reuses its exchange for the window rank and the
+    final per-target rollup."""
+    from pyspark.sql import Window
+
+    counts = anchors.groupBy("dst_url", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("dst_url").orderBy(F.desc("cnt"), F.asc("anchor"))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("dst_url").agg(
+        F.sum("cnt").cast("long").alias("n_inlinks"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("rn") <= k, F.struct("rn", "anchor")))
+        )["anchor"].alias("top_anchors"),
+    )

@@ -48,3 +48,44 @@ def test_extract_outlinks_explodes(spark):
     # every src_url is a real page url
     n_pages_with_links = links.select("src_url").distinct().count()
     assert 0 < n_pages_with_links <= 100
+
+
+# ------------------------------------------------------------- anchor text
+def test_extract_anchors_match_reference(spark):
+    from pagerank_spark.functions.extract import (
+        extract_anchor_pairs_reference,
+        extract_anchors,
+    )
+    from pagerank_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 200, seed=42, num_partitions=4)
+    got = {
+        (r["src_url"], r["dst_url"], r["anchor"])
+        for r in extract_anchors(pages).collect()
+    }
+    exp = set()
+    for r in pages.select("url", "html").collect():
+        for href, anchor in extract_anchor_pairs_reference(bytes(r["html"])):
+            exp.add((r["url"], href, anchor))
+    assert got == exp and len(got) > 0
+
+
+def test_anchor_text_summary_topk(spark):
+    from pagerank_spark.functions.extract import anchor_text_summary
+
+    anchors = spark.createDataFrame(
+        [
+            ("s1", "t1", "best page"),
+            ("s2", "t1", "best page"),
+            ("s3", "t1", "ok page"),
+            ("s4", "t1", "a rare one"),
+            ("s5", "t1", "ok page"),
+            ("s1", "t2", "solo"),
+        ],
+        "src_url string, dst_url string, anchor string",
+    )
+    rows = {r["dst_url"]: r for r in anchor_text_summary(anchors, k=2).collect()}
+    assert rows["t1"]["n_inlinks"] == 5
+    # top-2 by count desc, text asc: "best page" (2), "ok page" (2)
+    assert rows["t1"]["top_anchors"] == ["best page", "ok page"]
+    assert rows["t2"]["n_inlinks"] == 1 and rows["t2"]["top_anchors"] == ["solo"]
