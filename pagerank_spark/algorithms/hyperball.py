@@ -223,9 +223,23 @@ def hyperball(
         ).withColumn("ball_est", estimate_expr(F.col("s_int"), F.col("zero_regs")))
         return frame.localCheckpoint(eager=True)
 
+    def summarize(snap: DataFrame) -> tuple[float, tuple[int, int]]:
+        # ONE O(V) scan of the 40-byte summary rows yields both the NF sum
+        # and the convergence witness. s_int STRICTLY DECREASES whenever any
+        # register rises (a raised register swaps a 2^(55-r) term for a
+        # smaller one), so (id, s_int) changes iff the register vector
+        # changed — the xor checksum over it is exactly the CC/LP
+        # convergence contract without rescanning the 65-column state.
+        row = snap.agg(
+            F.sum("ball_est").alias("nf"),
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.expr("bit_xor(xxhash64(id, s_int))"), F.lit(0)).alias("h"),
+        ).first()
+        return float(row["nf"] or 0.0), (int(row["c"]), int(row["h"]))
+
     snapshots = [snapshot(state, 0)]
-    nf = [float(snapshots[0].agg(F.sum("ball_est")).first()[0] or 0.0)]
-    checksum = _util.set_checksum(state, "id", *regs)
+    nf0, checksum = summarize(snapshots[0])
+    nf = [nf0]
     iter_secs: list[float] = []
 
     t = 0
@@ -235,9 +249,9 @@ def hyperball(
             new_state = _hop(e_dst, state, no_bcast).localCheckpoint(eager=True)
         state = new_state
         snapshots.append(snapshot(state, t))
-        nf.append(float(snapshots[-1].agg(F.sum("ball_est")).first()[0] or 0.0))
+        nf_t, new_checksum = summarize(snapshots[-1])
+        nf.append(nf_t)
         iter_secs.append(time.time() - t0)
-        new_checksum = _util.set_checksum(state, "id", *regs)
         if new_checksum == checksum:
             # fixpoint: last hop added nothing; drop the duplicate snapshot
             snapshots.pop()

@@ -280,6 +280,60 @@ def cmd_hyperball(args) -> int:
     return 0
 
 
+def cmd_walks(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.walks import random_walks
+
+    edges, _ = _load_edges(spark, args)
+    w = random_walks(
+        edges,
+        walk_length=args.walk_length,
+        walks_per_node=args.walks_per_node,
+        seed=args.seed,
+    )
+    if args.output:
+        w.write.mode("overwrite").parquet(args.output)
+    row = w.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct("start_id").alias("starts"),
+        F.max("step").alias("max_step"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "rows": int(row["rows"]),
+                "starts": int(row["starts"]),
+                "max_step": int(row["max_step"]),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_cocite(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.linkanalysis import co_citation
+
+    edges, _ = _load_edges(spark, args)
+    pairs = co_citation(
+        edges, min_count=args.min_count, max_src_fanout=args.max_src_fanout
+    )
+    if args.output:
+        pairs.write.mode("overwrite").parquet(args.output)
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("pairs"), F.max("n_common_src").alias("max_common")
+    ).first()
+    print(
+        json.dumps(
+            {
+                "pairs": int(row["pairs"] or 0),
+                "max_common": int(row["max_common"] or 0),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_summary(args) -> int:
     spark = _spark(args)
     from pagerank_spark.algorithms.structure import graph_summary
@@ -394,6 +448,19 @@ def main(argv: list[str] | None = None) -> int:
     hb.add_argument("--t-max", type=int, default=16)
     hb.add_argument("--harmonic", action="store_true")
     hb.set_defaults(fn=cmd_hyperball)
+
+    wk = sub.add_parser("walks", help="seeded random walks (embedding corpus)")
+    graph_args(wk)
+    wk.add_argument("--walk-length", type=int, default=4)
+    wk.add_argument("--walks-per-node", type=int, default=1)
+    wk.add_argument("--seed", type=int, default=42)
+    wk.set_defaults(fn=cmd_walks)
+
+    co = sub.add_parser("cocite", help="co-citation relatedness pairs")
+    graph_args(co)
+    co.add_argument("--min-count", type=int, default=2)
+    co.add_argument("--max-src-fanout", type=int, default=1000)
+    co.set_defaults(fn=cmd_cocite)
 
     gs = sub.add_parser("summary", help="whole-graph summary stats")
     graph_args(gs)

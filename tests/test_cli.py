@@ -202,3 +202,16 @@ def test_cli_hyperball_subcommand():
     assert abs(r["nf"][0] - 2319) / 2319 < 0.15
     assert 0.0 <= r["effective_diameter"] <= 4.0
     assert len(r["top_harmonic"]) == 5
+
+
+def test_cli_walks_and_cocite_subcommands():
+    """walks / cocite drivable from the CLI over the golden .graph;
+    headline facts pinned by the in-session exact-twin runs (272 distinct
+    sources; 10950 uncapped co-citation pairs at min_count=2)."""
+    gf = "/root/reference/Pagerank/src/test1.graph"
+
+    r = run_cli("walks", "--graph-file", gf, "--walk-length", "3", "--seed", "11")
+    assert r["starts"] == 272 and r["max_step"] == 3 and r["rows"] >= r["starts"]
+
+    r = run_cli("cocite", "--graph-file", gf, "--max-src-fanout", "1000000")
+    assert r["pairs"] == 10950 and r["max_common"] >= 2
