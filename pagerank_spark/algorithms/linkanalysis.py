@@ -502,11 +502,18 @@ def co_citation(
         keep = deg.filter(F.col("f") <= max_src_fanout).select("src")
         by_src = by_src.join(keep, "src", "left_semi")
     by_src = by_src.persist()
-    by_src.count()
+    m = by_src.count()
+
+    def no_bcast(df: DataFrame) -> DataFrame:
+        # both self-join sides are O(E): above the gate, never let Catalyst
+        # broadcast one (the standard driver-OOM guard); hinted SHJ reuses
+        # the cached hash(src) on both sides — zero extra exchange
+        return df if m <= _util.BROADCAST_SAFE_ROWS else df.hint("shuffle_hash")
+
     a = by_src.select("src", F.col("dst").alias("a"))
     b = by_src.select("src", F.col("dst").alias("b"))
     pairs = (
-        a.join(b, "src")
+        a.join(no_bcast(b), "src")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common_src"))

@@ -479,3 +479,28 @@ def test_sessionize_single_shuffle(spark):
 
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exchanges == 1, plan[:2000]
+
+
+def test_session_stats_cross_check_builtin_session_window(spark):
+    """Independent implementation cross-check: per-user session event
+    counts from session_stats equal Spark's built-in session_window
+    aggregation on the real events table. (The two differ only when a gap
+    EXACTLY equals the threshold — Spark's window is half-open there, ours
+    keeps the session — impossible on microsecond event data.)"""
+    from pagerank_spark.pipeline.sessions import session_stats
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    gap = 6 * 3600
+    ours = sorted(
+        (r["user_id"], r["n_events"])
+        for r in session_stats(ev, gap_seconds=gap).collect()
+    )
+    builtin = sorted(
+        (r["user_id"], r["n"])
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", f"{gap} seconds")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert ours == builtin

@@ -460,3 +460,23 @@ def test_hyperball_hop_single_exchange(spark):
     sh3, _ = _exchanges(_hop(e_dst, state2, merge_hint))
     assert sh3 == 1, f"merge-hinted hyperball hop planned {sh3} exchanges, want 1"
     e_dst.unpersist()
+
+
+def test_co_citation_pair_join_plan(spark):
+    """Above the gate the co-citation self-join must be a ShuffledHashJoin
+    reusing the cached hash(src) on both sides (no broadcast of an O(E)
+    side, no extra exchange): exactly one shuffle exchange outside the
+    cache — the (a, b) pair-count aggregation."""
+    from unittest import mock
+
+    from pagerank_spark.algorithms import linkanalysis as la
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    edges = synthetic_edges(spark, 300, 3000, seed=7, num_partitions=4)
+    with mock.patch.object(la._util, "BROADCAST_SAFE_ROWS", 10):
+        df = la.co_citation(edges, min_count=2, max_src_fanout=100)
+        sh, bc = _exchanges(df)
+        plan = _plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert bc == 0, "broadcast of an O(E) self-join side above the gate"
+    assert sh == 1, f"pair generation planned {sh} shuffle exchanges, want 1"
