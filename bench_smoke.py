@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """At-scale smokes (not part of the per-round bench: minutes-long).
 
-Run:  python bench_smoke.py [triangles|ngram|labelprop|kcore|scc|hyperball|all]
+Run:  python bench_smoke.py [triangles|ngram|labelprop|kcore|scc|hyperball|walks|all]
 
 - triangles: exact triangle count at 10M vertices / 30M edges on local[32]
   (the hint gate flips to shuffle_hash joins here) — proves the
@@ -276,6 +276,35 @@ def smoke_hyperball(spark, n_vertices=4_000_000, n_edges=16_000_000, t_max=4):
     }
 
 
+def smoke_walks(spark, n_vertices=4_000_000, n_edges=16_000_000, walk_length=4):
+    """Random walks at scale: one walk from each of ~4M start vertices,
+    4 steps (above the 2M gate -> shuffle-hash hints). Invariant is the
+    exact (count, xor-hash) checksum over the emitted (start, step, id)
+    rows — deterministic seed + deterministic argmin rule."""
+    from pagerank_spark.algorithms.walks import random_walks
+    from pagerank_spark.sources.synthetic import synthetic_edges
+    from pagerank_spark.util import set_checksum
+
+    edges = synthetic_edges(
+        spark, n_vertices, n_edges, seed=45, num_partitions=32
+    ).persist()
+    edges.count()
+    t0 = time.time()
+    w = random_walks(edges, walk_length=walk_length, walks_per_node=1, seed=9)
+    csum = set_checksum(w, "start_id", "walk", "step", "id")
+    wall = time.time() - t0
+    edges.unpersist()
+    return {
+        "smoke": "random_walks",
+        "n_vertices": n_vertices,
+        "n_edges": n_edges,
+        "walk_length": walk_length,
+        "rows": csum[0],
+        "walk_checksum": list(csum),
+        "wall_s": round(wall, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from pagerank_spark.session import get_spark
@@ -294,6 +323,8 @@ def main() -> None:
         print(json.dumps(smoke_scc(spark)))
     if which in ("hyperball", "all"):
         print(json.dumps(smoke_hyperball(spark)))
+    if which in ("walks", "all"):
+        print(json.dumps(smoke_walks(spark)))
     spark.stop()
 
 
