@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_VERTS = 200
+BM25_QUERY = "spark shuffle hash join"
 N_HOSTS = 50
 K_NN = 5
 N_QUERIES = 5
@@ -306,6 +307,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a",
             "id_b",
             F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"),
+        )
+
+    def search_bm25(spark, sf):
+        """BM25 top-20 for a fixed query over documents. Scores are
+        engineered deterministic (exact-integer avgdl, fixed-order
+        cross-term sum) so the e6-rounded doubles hash-match the SQL."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.search import bm25_topk
+
+        top = bm25_topk(_docs(spark, sf), BM25_QUERY, k=20)
+        return top.select(
+            "doc_id",
+            F.round(F.col("score") * 1e6).cast("long").alias("score_e6"),
+            "rank",
         )
 
     def contamination_screen(spark, sf):
@@ -690,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
+        "search_bm25": search_bm25,
         "contamination_screen": contamination_screen,
         "dedup_canonical": dedup_canonical,
         "dedup_simhash": dedup_simhash,
@@ -819,6 +835,43 @@ FROM pairs
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.4
+"""
+    # ---- BM25: same tokenization, exact-integer avgdl, per-term pivot
+    # summed in sorted-term order; float literals embedded as Python reprs
+    # so both engines evaluate identical expression trees
+    _K1, _B = 1.2, 0.75
+    _QT = sorted({t for t in __import__("re").split(r"\W+", BM25_QUERY.lower()) if t})
+    _sterms = ",\n".join(
+        f"  MAX(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(_QT)
+    )
+    _ssum = " + ".join(f"COALESCE(s_{i}, 0.0)" for i in range(len(_QT)))
+    _qin = ", ".join(f"'{t}'" for t in _QT)
+    BM25 = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+post AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks WHERE len(t) > 0
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl FROM post GROUP BY doc_id, term),
+corpus AS (SELECT COUNT(DISTINCT doc_id) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+           FROM (SELECT DISTINCT doc_id, dl FROM post)),
+hits AS (SELECT * FROM tf WHERE term IN ({_qin})),
+dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+per_term AS (
+  SELECT h.doc_id, h.term,
+         ln(1.0 + (CAST(c.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+         * (CAST(h.tf AS DOUBLE) * {_K1 + 1.0!r})
+         / (CAST(h.tf AS DOUBLE) + {_K1!r} * ({1.0 - _B!r} + {_B!r} * CAST(h.dl AS DOUBLE) / c.avgdl)) AS s
+  FROM hits h JOIN dfreq d ON d.term = h.term CROSS JOIN corpus c
+),
+pv AS (SELECT doc_id,
+{_sterms}
+  FROM per_term GROUP BY doc_id),
+scored AS (SELECT doc_id, {_ssum} AS score FROM pv),
+ranked AS (SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+SELECT doc_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6, rank
+FROM ranked WHERE rank <= 20
 """
     # ---- contamination screen: n=8 shingles both sides, pooled benchmark
     # shingle set = docs with doc_id % 25 == 0 (the planted benchmark the
@@ -1410,6 +1463,7 @@ FROM c, rc, ag
             "FROM documents) GROUP BY keep_id"
         ),
         "dedup_ngram_jaccard": NGRAM,
+        "search_bm25": BM25,
         "contamination_screen": CONTAM,
         "dedup_minhash_lsh": MINHASH,
         "dedup_canonical": CANON,

@@ -1,0 +1,112 @@
+"""BM25 full-text ranking over the documents table (Robertson/Sparck Jones
+probabilistic relevance, public formula) — the retrieval half of a
+link-graph search stack (PageRank supplies the authority half).
+
+Tokenization is the engine's standard (lowercase, split non-word) so term
+statistics line up with the dedup/textstats operators. Scoring uses the
+classic Okapi BM25 with the +1 idf smoothing (Lucene's variant):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d, q) = sum_{t in q} idf(t) * tf * (k1 + 1)
+                           / (tf + k1 * (1 - b + b * dl / avgdl))
+
+Scale shape: the query's term list is a literal broadcast; only documents
+containing at least one query term are scored (inverted-index semi-join —
+never a full-corpus scan of non-matching docs past the tokenize pass), and
+the per-doc score aggregation shuffles only the matching postings. Corpus
+statistics (N, avgdl, per-term df) are O(1)/O(terms) aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def term_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, term, tf, dl): term frequencies + document length in
+    tokens (the inverted-index building block)."""
+    from pagerank_spark.util import widen_partitions
+
+    toks = widen_partitions(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    return (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, score, rank): the top-k BM25 matches for ``query``
+    (tokenized the same way as documents; duplicate query terms count
+    once). Deterministic tie-break (score desc, doc_id asc)."""
+    q_terms = sorted(
+        {t for t in __import__("re").split(r"\W+", query.lower()) if t}
+    )
+    if not q_terms:
+        raise ValueError("bm25_topk needs a query with at least one token")
+
+    postings = term_postings(docs, id_col, text_col).localCheckpoint(eager=True)
+    # exact integer corpus stats -> avgdl as ONE double division, so the
+    # embedded literal is bit-identical to the SQL oracle's
+    # CAST(SUM(dl) AS DOUBLE)/COUNT (a float AVG would sum in
+    # partition-dependent order and drift in the last ulp)
+    stats = (
+        postings.select("doc_id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl"))
+        .first()
+    )
+    n_docs, avgdl = int(stats["n"]), int(stats["total_dl"]) / int(stats["n"])
+
+    hits = postings.filter(F.col("term").isin(q_terms))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    per_term = hits.join(F.broadcast(dfreq), "term").withColumn(
+        "s",
+        idf
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl))
+        ),
+    )
+    # fixed-order cross-term sum: each term appears at most once per doc, so
+    # the conditional aggregates are exact single values and the final chain
+    # adds them in the query's sorted term order — deterministic doubles
+    # (a plain SUM over terms would add in partition order)
+    pivoted = per_term.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{i}")
+            for i, t in enumerate(q_terms)
+        ]
+    )
+    score = F.coalesce(F.col("s_0"), F.lit(0.0))
+    for i in range(1, len(q_terms)):
+        score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    scored = pivoted.select("doc_id", score.alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score", "rank")
+    )

@@ -504,3 +504,60 @@ def test_session_stats_cross_check_builtin_session_window(spark):
         .collect()
     )
     assert ours == builtin
+
+
+# ------------------------------------------------------------------- BM25
+def _bm25_py(texts: dict, query: str, k1=1.2, b=0.75):
+    import math
+    import re as _re
+
+    tok = lambda s: [t for t in _re.split(r"\W+", s.lower()) if t]
+    docs = {d: tok(t) for d, t in texts.items() if tok(t)}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    q_terms = sorted(set(tok(query)))
+    df = {t: sum(1 for v in docs.values() if t in v) for t in q_terms}
+    out = {}
+    for d, toks in docs.items():
+        s = 0.0
+        for t in q_terms:
+            tf = toks.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (float(n) - df[t] + 0.5) / (df[t] + 0.5))
+            s = s + idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(toks) / avgdl)
+            )
+        if s > 0.0:
+            out[d] = s
+    return out
+
+
+def test_bm25_matches_python_twin(spark):
+    from pagerank_spark.pipeline.search import bm25_topk
+
+    texts = {
+        1: "spark shuffle exchange plan shuffle shuffle",
+        2: "plan audit for the physical plan of a join",
+        3: "completely unrelated words about cooking pasta",
+        4: "shuffle plan shuffle",
+        5: "",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in
+           bm25_topk(docs, "shuffle plan", k=10).collect()}
+    exp = _bm25_py(texts, "shuffle plan")
+    assert set(got) == set(exp)
+    for d, s in exp.items():
+        assert abs(got[d][0] - s) < 1e-9
+    ranks = sorted(got.values(), key=lambda t: t[1])
+    assert [s for s, _ in ranks] == sorted((s for s, _ in ranks), reverse=True)
+
+
+def test_bm25_topk_on_documents(spark):
+    from pagerank_spark.pipeline.search import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    top = bm25_topk(docs, "spark shuffle hash join", k=5).collect()
+    assert len(top) == 5
+    assert [r["rank"] for r in sorted(top, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
