@@ -62,3 +62,22 @@ def build_link_graph(
     if dedup:
         edges = edges.dropDuplicates(["src", "dst"])
     return LinkGraph(vertices=ids, edges=edges, n=n)
+
+
+def latest_snapshot(pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"):
+    """Crawl-snapshot dedup: keep each url's NEWEST capture (max warc_ts;
+    deterministic under recrawl ties via the max_by struct tie-break on the
+    full row order below). Common Crawl re-fetches pages across snapshots,
+    so every pipeline stage downstream of ingest — extraction, graph build,
+    dedup — must see one row per url or edges double-count.
+
+    One shuffle on url (map-side partial max). Implemented as a max_by over
+    a (ts, row) struct rather than a window+filter: no per-group sort, and
+    the aggregate form keeps the partial-aggregation (combiner) path that a
+    row_number window lacks."""
+    other = [c for c in pages.columns if c != url_col]
+    packed = pages.select(
+        url_col, F.struct(F.col(ts_col).alias("_ts"), F.struct(*other).alias("_row")).alias("p")
+    )
+    latest = packed.groupBy(url_col).agg(F.max("p").alias("p"))
+    return latest.select(url_col, *[F.col(f"p._row.{c}").alias(c) for c in other])

@@ -86,3 +86,36 @@ def test_pagerank_salted_matches(spark, golden):
     for r in res.ranks.collect():
         got[r["id"]] = r["rank"]
     np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_latest_snapshot_keeps_newest_capture(spark):
+    from datetime import datetime
+
+    from pagerank_spark.graph.build import latest_snapshot
+
+    rows = [
+        ("u1", datetime(2024, 1, 1), b"old", "old text", "en"),
+        ("u1", datetime(2024, 3, 1), b"new", "new text", "en"),
+        ("u2", datetime(2024, 2, 1), b"only", "only text", "de"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = {r["url"]: (bytes(r["html"]), r["text"]) for r in latest_snapshot(pages).collect()}
+    assert got == {"u1": (b"new", "new text"), "u2": (b"only", "only text")}
+    # schema preserved, one row per url
+    assert latest_snapshot(pages).columns == pages.columns
+    assert latest_snapshot(pages).count() == 2
+
+
+def test_latest_snapshot_single_exchange(spark):
+    from pagerank_spark.graph.build import latest_snapshot
+    from pagerank_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 100, seed=42, num_partitions=4)
+    df = latest_snapshot(pages)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "Window" not in plan  # aggregate form, not window+filter
