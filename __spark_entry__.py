@@ -42,7 +42,16 @@ _STOP = None  # lazily built SQL stopword list
 
 
 def _spark_ready(spark: SparkSession) -> None:
-    """Session prep: UTC + ship the package to executors (idempotent)."""
+    """Session prep: UTC + ship the package to executors (idempotent).
+
+    The timezone pin matters for correctness, not just the oracles: the
+    timestamp queries (user_sessions) cast TIMESTAMP_NTZ through TIMESTAMP,
+    which reads the session timezone — a non-UTC driver session would shift
+    epochs and mis-measure DST-spanning gaps vs DuckDB's epoch_us."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     try:
         from pagerank_spark.session import _ship_package
 
@@ -1311,8 +1320,11 @@ UNION ALL SELECT start_id, walk, 3 AS step, cur FROM f3
         " AS BIGINT) AS s_int, CAST(64 - COUNT(*) AS INTEGER) AS zero_regs"
     )
     HYPERBALL = f"""
-WITH e AS MATERIALIZED (SELECT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst),
-v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+WITH raw AS MATERIALIZED (SELECT src, dst FROM ({_EDGES_SQL})),
+e AS (SELECT src, dst FROM raw WHERE src <> dst),
+-- vertices come from the UNFILTERED endpoints: the engine (and its numpy
+-- twin) emits rows for a vertex whose only edge is a self-loop
+v AS (SELECT src AS id FROM raw UNION SELECT dst AS id FROM raw),
 hh AS (SELECT id, ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h FROM v),
 g0 AS (SELECT id, h % 64 AS j,
               CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS r

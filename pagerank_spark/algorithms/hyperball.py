@@ -69,9 +69,8 @@ _EST_NUM = ALPHA_M * M * M * float(1 << _RHO_MAX)
 
 
 def _hash60(col):
-    """The engine's md5 60-bit hash (same convention as dedup's md5 paths):
-    DuckDB twin is ('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::UBIGINT."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    """The engine's md5 60-bit hash (shared definition: util.md5_hash60)."""
+    return _util.md5_hash60(col)
 
 
 def _reg_cols():
@@ -254,8 +253,10 @@ def hyperball(
         iter_secs.append(time.time() - t0)
         if new_checksum == checksum:
             # fixpoint: last hop added nothing; drop the duplicate snapshot
+            # AND its timing so len(iter_seconds) == iterations
             snapshots.pop()
             nf.pop()
+            iter_secs.pop()
             t -= 1
             break
         checksum = new_checksum

@@ -471,6 +471,7 @@ def co_citation(
     edges: DataFrame,
     min_count: int = 2,
     max_src_fanout: int | None | str = "auto",
+    materialize: bool = True,
 ) -> DataFrame:
     """Co-citation pairs (Small 1973): (a, b, n_common_src) — the number of
     pages whose out-links include BOTH a and b (a < b), the classic
@@ -519,6 +520,14 @@ def co_citation(
         .agg(F.count(F.lit(1)).alias("n_common_src"))
         .filter(F.col("n_common_src") >= min_count)
     )
+    # materialize before releasing the cache the pair plan references
+    # (the siblings' checkpoint+unpersist contract; returning a lazy frame
+    # over by_src would pin the O(E) cache for the session lifetime).
+    # materialize=False keeps the lazy plan — for plan audits and fused
+    # composition — and leaves by_src pinned for the caller to release.
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
+        by_src.unpersist()
     return pairs
 
 

@@ -30,12 +30,12 @@ from pagerank_spark import util as _util
 
 
 def _choice_hash(seed: int, start, walk, step: int, nb) -> F.Column:
-    """md5 60-bit hash of the walk-step-neighbor key (hyperball._hash60
-    convention; DuckDB twin ('0x' || substr(md5(k), 1, 15))::UBIGINT)."""
+    """md5 60-bit hash of the walk-step-neighbor key (the shared
+    util.md5_hash60 convention)."""
     key = F.concat_ws(
         "_", F.lit(int(seed)), start, walk, F.lit(int(step)), nb
     )
-    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return _util.md5_hash60(key)
 
 
 def random_walks(

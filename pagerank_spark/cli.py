@@ -303,7 +303,7 @@ def cmd_walks(args) -> int:
             {
                 "rows": int(row["rows"]),
                 "starts": int(row["starts"]),
-                "max_step": int(row["max_step"]),
+                "max_step": int(row["max_step"] or 0),
             }
         )
     )

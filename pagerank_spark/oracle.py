@@ -448,6 +448,8 @@ def random_walks_numpy(
     import hashlib
     from collections import defaultdict
 
+    # self-loops are legal hops (the engine's edge cache keeps them and so
+    # does the SQL oracle; a walk may step v -> v)
     adj: dict[int, list[int]] = defaultdict(list)
     for u, v in np.asarray(edges, dtype=np.int64).reshape(-1, 2):
         adj[int(u)].append(int(v))

@@ -107,6 +107,29 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return hashed.join(keep, "h").select(id_col, "keep_id")
 
 
+def token_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, toks array<string>): the engine's ONE canonical tokenizer
+    (lowercase, split non-word, drop empties; empty docs dropped), entirely
+    JVM-side, matching the DuckDB oracles' TOKS macro. Shared by the
+    shingle pipelines and BM25 so cross-engine parity has a single
+    definition. Tokenizing is a compute-heavy per-row stage: the input is
+    spread across the session parallelism even from a single file split."""
+    from pagerank_spark.util import widen_partitions
+
+    return (
+        widen_partitions(docs.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+            ).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+    )
+
+
 def shingle_table(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -116,17 +139,7 @@ def shingle_table(
     are dropped (matches the Python shingles() helper and the DuckDB
     oracles' len(t) > 0 filter). Shared by the Jaccard dedup and the
     benchmark-contamination screen."""
-    from pagerank_spark.util import widen_partitions
-
-    # shingling is a compute-heavy per-row stage (interpreted higher-order
-    # transform): spread it across the session parallelism even when the
-    # input is a single file split
-    toks = widen_partitions(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
-        ).alias("toks"),
-    ).filter(F.size("toks") > 0)
+    toks = token_arrays(docs, id_col=id_col, text_col=text_col)
     return toks.select(
         "id",
         F.array_distinct(

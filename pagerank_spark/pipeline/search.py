@@ -27,15 +27,13 @@ def term_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """-> (doc_id, term, tf, dl): term frequencies + document length in
-    tokens (the inverted-index building block)."""
-    from pagerank_spark.util import widen_partitions
+    tokens (the inverted-index building block). Tokenization is the shared
+    ``dedup.token_arrays`` — the one definition the DuckDB oracles mirror."""
+    from pagerank_spark.pipeline.dedup import token_arrays
 
-    toks = widen_partitions(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc_id"),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
-        ).alias("toks"),
-    ).filter(F.size("toks") > 0)
+    toks = token_arrays(docs, id_col=id_col, text_col=text_col).select(
+        F.col("id").alias("doc_id"), "toks"
+    )
     return (
         toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
@@ -62,17 +60,19 @@ def bm25_topk(
         raise ValueError("bm25_topk needs a query with at least one token")
 
     postings = term_postings(docs, id_col, text_col).localCheckpoint(eager=True)
-    # exact integer corpus stats -> avgdl as ONE double division, so the
-    # embedded literal is bit-identical to the SQL oracle's
-    # CAST(SUM(dl) AS DOUBLE)/COUNT (a float AVG would sum in
-    # partition-dependent order and drift in the last ulp)
+    # exact integer corpus stats -> avgdl mirrors the SQL oracle's
+    # CAST(SUM(dl) AS DOUBLE)/COUNT op-for-op: round the exact integer sum
+    # to double FIRST, then one division (a float AVG would sum in
+    # partition-dependent order; Python int/int would round once and drift
+    # from the SQL past 2^53 total tokens)
     stats = (
         postings.select("doc_id", "dl")
         .distinct()
         .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl"))
         .first()
     )
-    n_docs, avgdl = int(stats["n"]), int(stats["total_dl"]) / int(stats["n"])
+    n_docs = int(stats["n"])
+    avgdl = float(int(stats["total_dl"])) / n_docs
 
     hits = postings.filter(F.col("term").isin(q_terms))
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -104,9 +104,13 @@ def bm25_topk(
     for i in range(1, len(q_terms)):
         score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
     scored = pivoted.select("doc_id", score.alias("score"))
+    # distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition partial top-k, k rows to the driver) — a global
+    # row_number window would funnel EVERY matching doc into one task,
+    # a single-executor hotspot on common query terms at corpus scale.
+    # The rank window then runs over only the k surviving rows.
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "score", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
     )

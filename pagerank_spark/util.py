@@ -87,3 +87,11 @@ def set_checksum(df: DataFrame, *cols: str) -> tuple[int, int]:
         ).alias("h"),
     ).first()
     return int(row["c"]), int(row["h"])
+
+
+def md5_hash60(col) -> "F.Column":
+    """The engine's cross-engine 60-bit hash: md5 hex prefix -> int64.
+    DuckDB twin: ('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::UBIGINT.
+    Single definition so HyperBall registers, random-walk choices, and any
+    future oracle-checked hashing stay in lockstep with the SQL convention."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")

@@ -474,9 +474,13 @@ def test_co_citation_pair_join_plan(spark):
 
     edges = synthetic_edges(spark, 300, 3000, seed=7, num_partitions=4)
     with mock.patch.object(la._util, "BROADCAST_SAFE_ROWS", 10):
-        df = la.co_citation(edges, min_count=2, max_src_fanout=100)
+        # materialize=False keeps the lazy plan (the default eagerly
+        # checkpoints the result, which collapses the audited plan to a
+        # Scan ExistingRDD) — the audit must see the join itself
+        df = la.co_citation(edges, min_count=2, max_src_fanout=100, materialize=False)
         sh, bc = _exchanges(df)
         plan = _plan(df)
     assert "ShuffledHashJoin" in plan
     assert bc == 0, "broadcast of an O(E) self-join side above the gate"
     assert sh == 1, f"pair generation planned {sh} shuffle exchanges, want 1"
+    spark.catalog.clearCache()  # release the audit run's pinned by_src
