@@ -191,6 +191,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("auth") * 1e6).cast("long").alias("auth_e6"),
         )
 
+    def salsa_3iter(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import salsa
+
+        res = salsa(_edges(spark, sf), _verts(spark), max_iter=3)
+        return res.scores.select(
+            "id",
+            F.round(F.col("hub") * 1e6).cast("long").alias("hub_e6"),
+            F.round(F.col("auth") * 1e6).cast("long").alias("auth_e6"),
+        )
+
     def pagerank_personalized(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.algorithms.linkanalysis import personalized_pagerank
@@ -701,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_global": tri_global,
         "triangles_per_vertex": tri_per_vertex,
         "hits_3iter": hits_3iter,
+        "salsa_3iter": salsa_3iter,
         "pagerank_personalized": pagerank_personalized,
         "clustering_coefficient": clustering_coefficient,
         "bfs_from_seeds": bfs_from_seeds,
@@ -1152,6 +1164,37 @@ WHERE len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i])) / 128.0 >= 0.4
         "CAST(ROUND(a3.a * 1e6) AS BIGINT) AS auth_e6 "
         "FROM h3 JOIN a3 ON a3.id = h3.id"
     )
+    # ---- SALSA, 3 synchronous iterations unrolled (engine semantics: the
+    # HITS half-steps with each contribution divided by the contributing
+    # edge's outdeg (auth step) / indeg (hub step); weights mirror the
+    # engine's 1.0/COUNT precompute so doubles agree term-for-term)
+    salsa_iters = []
+    for k in range(1, 4):
+        hp = f"sh{k-1}"
+        salsa_iters.append(
+            f"sa{k}r AS (SELECT e.dst AS id, SUM(p.h * od.w) AS ar FROM e "
+            f"JOIN {hp} p ON p.id = e.src JOIN od ON od.src = e.src "
+            f"GROUP BY e.dst),\n"
+            f"sa{k} AS MATERIALIZED (SELECT v.id, "
+            f"COALESCE(sa{k}r.ar, 0) / (SELECT SUM(ar) FROM sa{k}r) AS a "
+            f"FROM v LEFT JOIN sa{k}r ON sa{k}r.id = v.id),\n"
+            f"sh{k}r AS (SELECT e.src AS id, SUM(sa{k}.a * idg.w) AS hr FROM e "
+            f"JOIN sa{k} ON sa{k}.id = e.dst JOIN idg ON idg.dst = e.dst "
+            f"GROUP BY e.src),\n"
+            f"sh{k} AS MATERIALIZED (SELECT v.id, "
+            f"COALESCE(sh{k}r.hr, 0) / (SELECT SUM(hr) FROM sh{k}r) AS h "
+            f"FROM v LEFT JOIN sh{k}r ON sh{k}r.id = v.id)"
+        )
+    SALSA3 = (
+        f"WITH e AS MATERIALIZED ({E}), v AS MATERIALIZED ({V}),\n"
+        f"od AS MATERIALIZED (SELECT src, 1.0 / COUNT(*) AS w FROM e GROUP BY src),\n"
+        f"idg AS MATERIALIZED (SELECT dst, 1.0 / COUNT(*) AS w FROM e GROUP BY dst),\n"
+        f"sh0 AS (SELECT id, 1.0 AS h FROM v),\n"
+        + ",\n".join(salsa_iters)
+        + "\nSELECT sh3.id, CAST(ROUND(sh3.h * 1e6) AS BIGINT) AS hub_e6, "
+        "CAST(ROUND(sa3.a * 1e6) AS BIGINT) AS auth_e6 "
+        "FROM sh3 JOIN sa3 ON sa3.id = sh3.id"
+    )
     # ---- personalized PageRank, 3 unrolled iterations (teleport vector
     # v = 1/10 on seed ids 0..9, 0 elsewhere; dangling mass re-teleports to
     # the seeds: r' = c*(P^T r + dm*v) + (1-c)*total*v, r0 = v)
@@ -1459,6 +1502,7 @@ FROM c, rc, ag
             f"SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id"
         ),
         "hits_3iter": HITS3,
+        "salsa_3iter": SALSA3,
         "bfs_from_seeds": BFS,
         "pagerank_personalized": PPR3,
         "clustering_coefficient": CLUSTER,

@@ -43,6 +43,7 @@ def hits(
     edges: DataFrame,
     vertices: DataFrame,
     max_iter: int = 5,
+    degree_normalized: bool = False,
 ) -> HitsResult:
     """HITS (Kleinberg) hubs-and-authorities over a directed edge table.
 
@@ -58,6 +59,13 @@ def hits(
     fixed-iteration output deterministic and SQL-reproducible; the principal
     eigenvector direction is the same as under L2.
 
+    ``degree_normalized=True`` runs the SALSA power iteration instead (see
+    :func:`salsa`): contributions are divided by the contributing edge's
+    outdegree (auth step) / indegree (hub step), i.e. the bipartite
+    random-walk chain of Lempel & Moran 2000 rather than HITS's mutual
+    reinforcement. Same plan, the weight rides as a column on the edge
+    caches.
+
     Physical plan per half-step: one shuffle (the aggregation). The edge
     cache is partitioned on the half-step's join key; the state checkpoint
     keeps hash(id) via ``util.static_plan``, so the score join and the
@@ -72,9 +80,24 @@ def hits(
 
     # two cached layouts of the same edges: hub-side join consumes hash(src),
     # auth-side join consumes hash(dst) — one-time cost, reused every
-    # iteration (the PageRank ew recipe, once per direction)
-    e_src = edges.repartition(shuffle_p, "src").persist()
-    e_dst = edges.repartition(shuffle_p, "dst").persist()
+    # iteration (the PageRank ew recipe, once per direction). For SALSA the
+    # per-direction transition weight (1/outdeg on the auth step, 1/indeg on
+    # the hub step) is attached before the repartition so iterations never
+    # re-derive degrees.
+    if degree_normalized:
+        odeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+        ideg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("ideg"))
+        e_src = edges.join(no_bcast(odeg), "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("odeg")).alias("w")
+        )
+        e_dst = edges.join(no_bcast(ideg), "dst").select(
+            "src", "dst", (F.lit(1.0) / F.col("ideg")).alias("w")
+        )
+    else:
+        e_src = edges.select("src", "dst", F.lit(1.0).alias("w"))
+        e_dst = e_src
+    e_src = e_src.repartition(shuffle_p, "src").persist()
+    e_dst = e_dst.repartition(shuffle_p, "dst").persist()
     e_src.count(), e_dst.count()
 
     with _util.static_plan(spark):
@@ -95,7 +118,7 @@ def hits(
         a_raw = (
             e_src.join(no_bcast(state.select("id", "hub")), e_src.src == F.col("id"))
             .groupBy("dst")
-            .agg(F.sum("hub").alias("a_raw"))
+            .agg(F.sum(F.col("hub") * F.col("w")).alias("a_raw"))
         )
         auth = state.join(no_bcast(a_raw), state.id == a_raw.dst, "left").select(
             state.id,
@@ -114,7 +137,7 @@ def hits(
                 e_dst.dst == F.col("id"),
             )
             .groupBy("src")
-            .agg(F.sum("a").alias("h_raw"))
+            .agg(F.sum(F.col("a") * F.col("w")).alias("h_raw"))
         )
         new_state = auth.join(no_bcast(h_raw), auth.id == h_raw.src, "left").select(
             auth.id,
@@ -137,6 +160,29 @@ def hits(
     e_src.unpersist()
     e_dst.unpersist()
     return HitsResult(state.select("id", "hub", "auth"), max_iter, iter_secs)
+
+
+def salsa(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 5,
+) -> HitsResult:
+    """SALSA (Lempel & Moran 2000): the stochastic sibling of HITS — the
+    same two half-steps, but each contribution is divided by the
+    contributing edge's degree, turning mutual reinforcement into a random
+    walk on the bipartite hub/authority graph::
+
+        auth'(v) = sum_{u->v} hub(u)  / outdeg(u)   then L1-normalize
+        hub'(u)  = sum_{u->v} auth'(v) / indeg(v)   then L1-normalize
+
+    SALSA is the TKC-resistant variant: a tightly-knit link farm that
+    dominates HITS's principal eigenvector gets its score diluted by its
+    own fan-out, so it's the hub/authority formulation actually usable on
+    adversarial web graphs. Same physical plan as :func:`hits` (the
+    1/degree weight is attached to the per-direction edge caches once, so
+    iterations plan identically — one shuffle per half-step).
+    """
+    return hits(edges, vertices, max_iter=max_iter, degree_normalized=True)
 
 
 def _ppr_iteration(ew, state, c: float, dmass: float, total: float, no_bcast):

@@ -168,6 +168,37 @@ def hits_numpy(
     return h, a
 
 
+def salsa_numpy(
+    edges: np.ndarray, n: int, max_iter: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
+    """SALSA with per-half-step L1 normalization (linkanalysis.salsa
+    semantics): auth' = normalize(sum_{u->v} hub(u)/outdeg(u)),
+    hub' = normalize(sum_{u->v} auth'(v)/indeg(v)), init hub = 1.
+    Returns (hub, auth)."""
+    arr = np.asarray(edges, dtype=np.int64)
+    outdeg = np.zeros(n)
+    indeg = np.zeros(n)
+    for u, v in arr:
+        outdeg[int(u)] += 1
+        indeg[int(v)] += 1
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(max_iter):
+        a = np.zeros(n)
+        for u, v in arr:
+            a[int(v)] += h[int(u)] / outdeg[int(u)]
+        s = a.sum()
+        if s > 0:
+            a = a / s
+        h = np.zeros(n)
+        for u, v in arr:
+            h[int(u)] += a[int(v)] / indeg[int(v)]
+        s = h.sum()
+        if s > 0:
+            h = h / s
+    return h, a
+
+
 def personalized_pagerank_numpy(
     edges: np.ndarray,
     n: int,

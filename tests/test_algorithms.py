@@ -144,6 +144,21 @@ def test_hits_exact(spark, name):
         assert abs(got[i][1] - a[i]) < 1e-12
 
 
+@pytest.mark.parametrize("name", ["chain_8", "star_hub", "complete_6", "two_islands"])
+def test_salsa_exact(spark, name):
+    from pagerank_spark.algorithms.linkanalysis import salsa
+    from pagerank_spark.oracle import salsa_numpy
+
+    arr, n = micro_graphs()[name]
+    res = salsa(edges_from_numpy(spark, arr), vertices_df(spark, n), max_iter=3)
+    got = {r["id"]: (r["hub"], r["auth"]) for r in res.scores.collect()}
+    h, a = salsa_numpy(arr, n, max_iter=3)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert abs(got[i][0] - h[i]) < 1e-12
+        assert abs(got[i][1] - a[i]) < 1e-12
+
+
 @pytest.mark.parametrize("name", ["chain_8", "cycle_8", "star_hub", "two_islands"])
 def test_personalized_pagerank_exact(spark, name):
     from pagerank_spark.algorithms.linkanalysis import personalized_pagerank
