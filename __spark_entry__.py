@@ -319,6 +319,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("group_size"))
         )
 
+    def dedup_paragraphs(spark, sf):
+        """Paragraph-level exact dedup (C4/RefinedWeb stage) over
+        deterministic multi-paragraph composites (the synthetic docs carry
+        no newlines): composite c in [0,150) takes paragraph j in [0,4)
+        from doc (5c+11j) mod 97 — the modulus collides across composites,
+        planting cross-doc duplicate paragraphs whose globally-first
+        occurrence must win; later copies are dropped and docs reassemble
+        in original order."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.dedup import paragraph_dedup
+
+        base = _docs(spark, sf).filter(F.col("doc_id") < 97).select("doc_id", "text")
+        comp = (
+            spark.range(0, 150)
+            .select(F.col("id").alias("c"))
+            .crossJoin(spark.range(0, 4).select(F.col("id").alias("j")))
+            .withColumn(
+                "doc_id", (F.lit(5) * F.col("c") + F.lit(11) * F.col("j")) % 97
+            )
+            .join(base, "doc_id")
+            .groupBy("c")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    "\n\n",
+                ).alias("text")
+            )
+            .select(F.col("c").alias("doc_id"), "text")
+        )
+        return paragraph_dedup(comp).select("doc_id", "n_paras", "n_kept", "text")
+
     def dedup_ngram(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.pipeline.dedup import ngram_jaccard_pairs
@@ -724,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": graph_stats,
         "host_pagerank": host_pagerank,
         "dedup_exact": dedup_exact,
+        "dedup_paragraphs": dedup_paragraphs,
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
         "search_bm25": search_bm25,
@@ -830,6 +865,37 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {K_NN}
+"""
+    # ---- paragraph-level exact dedup over deterministic composites:
+    # composite c in [0,150) takes paragraph j in [0,4) from doc
+    # (5c+11j) mod 97; keep = globally-first (doc, idx) per md5(paragraph),
+    # reassembled in original order (string_agg skips the dropped NULLs)
+    PARA = """
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 97),
+comp AS (
+  SELECT s.c, string_agg(b.text, chr(10) || chr(10) ORDER BY t.j) AS text
+  FROM generate_series(0, 149) s(c)
+  CROSS JOIN generate_series(0, 3) t(j)
+  JOIN base b ON b.doc_id = (5 * s.c + 11 * t.j) % 97
+  GROUP BY s.c
+),
+p AS (
+  SELECT c, generate_subscripts(l, 1) AS idx, unnest(l) AS para
+  FROM (SELECT c, string_split(text, chr(10) || chr(10)) AS l FROM comp)
+),
+firsts AS (
+  SELECT md5(para) AS h, MIN(struct_pack(a := c, b := idx)) AS f
+  FROM p GROUP BY md5(para)
+),
+kept AS (
+  SELECT p.c, p.idx, p.para, (p.c = fs.f.a AND p.idx = fs.f.b) AS keep
+  FROM p JOIN firsts fs ON fs.h = md5(p.para)
+)
+SELECT c AS doc_id, COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN para END,
+                           chr(10) || chr(10) ORDER BY idx), '') AS text
+FROM kept GROUP BY c
 """
     NGRAM = f"""
 WITH toks AS (
@@ -1518,6 +1584,7 @@ FROM c, rc, ag
             "(SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id "
             "FROM documents) GROUP BY keep_id"
         ),
+        "dedup_paragraphs": PARA,
         "dedup_ngram_jaccard": NGRAM,
         "search_bm25": BM25,
         "contamination_screen": CONTAM,

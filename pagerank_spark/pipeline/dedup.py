@@ -726,3 +726,68 @@ def canonical_docs(
             F.coalesce(F.col("canonical_id"), F.col(id_col)) == F.col(id_col)
         ).alias("is_canonical"),
     )
+
+
+# ------------------------------------------------- paragraph-level exact
+def paragraph_dedup(
+    docs: DataFrame,
+    sep: str = "\n\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the C4 / RefinedWeb ingest stage): split
+    each doc on ``sep``, keep only the globally FIRST occurrence of every
+    byte-identical paragraph, and reassemble each doc from its surviving
+    paragraphs in original order. "First" = smallest (doc id, paragraph
+    index) over the whole corpus, so the output is deterministic and
+    repeated boilerplate (headers, footers, license blocks) survives exactly
+    once — in the earliest doc that carries it.
+
+    Returns one row per input doc: (id_col, n_paras, n_kept, text_col) —
+    ``text_col`` is the reassembled text ('' when every paragraph was seen
+    earlier; callers typically drop those rows or gate on
+    ``n_kept / n_paras``).
+
+    Physical plan, in scale order: paragraphs are exploded once and hashed
+    to a 16-byte md5 key; the first-occurrence election is a groupBy-min on
+    that key — map-side partial aggregation, so the boilerplate-hot key
+    (millions of copies of one footer at corpus scale, THE expected skew
+    here) is combined per-partition before the shuffle. A window
+    (row_number over hash) would sort every copy of the hot paragraph on
+    one reducer instead; that's why it's groupBy+join-back rather than the
+    one-shuffle window. The join-back is 1-row-per-hash against the
+    exploded table (no blowup); a keep-flag then lets ONE aggregation on
+    doc id produce counts and the rebuilt text together (collect_list
+    ignores the NULLed-out dropped paragraphs; array_sort on (idx, para)
+    structs restores original order — collect_list order is not
+    deterministic). Three exchanges total; nothing is driver-resident.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1)
+        ).alias("_idx", "_para"),
+    ).withColumn("_h", F.md5(F.col("_para")))
+    firsts = paras.groupBy("_h").agg(
+        F.min(F.struct("_id", "_idx")).alias("_first")
+    )
+    flagged = paras.join(firsts, "_h").withColumn(
+        "_keep",
+        (F.col("_id") == F.col("_first._id"))
+        & (F.col("_idx") == F.col("_first._idx")),
+    )
+    return flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_idx", "_para"))
+                    )
+                ),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias(text_col),
+    ).withColumnRenamed("_id", id_col)

@@ -561,3 +561,29 @@ def test_bm25_topk_on_documents(spark):
     top = bm25_topk(docs, "spark shuffle hash join", k=5).collect()
     assert len(top) == 5
     assert [r["rank"] for r in sorted(top, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+
+
+def test_paragraph_dedup_planted(spark):
+    """Global first-occurrence paragraph dedup: boilerplate survives only in
+    the earliest (doc_id, idx); in-doc repeats collapse; fully-duplicate
+    docs come back empty; original paragraph order is preserved."""
+    from pagerank_spark.pipeline.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\n\nshared footer\n\nbeta"),
+        (2, "shared footer\n\ngamma\n\ngamma"),   # cross-doc + in-doc dup
+        (3, "alpha\n\nshared footer"),            # nothing new -> ''
+        (4, "delta"),
+        (5, None),                                # NULL text -> one '' para
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text"])
+        for r in paragraph_dedup(docs).collect()
+    }
+    assert got[1] == (3, 3, "alpha\n\nshared footer\n\nbeta")
+    assert got[2] == (3, 1, "gamma")
+    assert got[3] == (2, 0, "")
+    assert got[4] == (1, 1, "delta")
+    assert got[5] == (1, 1, "")  # the empty paragraph's first occurrence
+    assert set(got) == {1, 2, 3, 4, 5}
