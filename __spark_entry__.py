@@ -319,6 +319,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("group_size"))
         )
 
+    def url_canonical(spark, sf):
+        """URL canonicalization over deterministic synthetic urls built
+        from the orders table — covers scheme case, www, default and
+        non-default ports (incl. :443 on http, which must be KEPT), empty
+        paths, mixed tracking/real query params, and fragments."""
+        _spark_ready(spark)
+        from pagerank_spark.functions.urls import canonicalize_urls
+
+        k = F.col("id")
+        urls = (
+            spark.read.parquet(f"{sf}/orders.parquet")
+            .filter(F.col("o_orderkey") < 4000)
+            .select(
+                F.col("o_orderkey").alias("id"),
+                (F.col("o_custkey") % 23).alias("c"),
+            )
+            .select(
+                "id",
+                F.concat(
+                    F.when(k % 3 == 0, F.lit("HTTP://WWW.Shop")).otherwise(
+                        F.lit("https://CDN.shop")
+                    ),
+                    F.col("c").cast("string"),
+                    F.lit(".ExAmple.COM"),
+                    F.when(k % 4 == 0, F.lit(":80"))
+                    .when(k % 4 == 1, F.lit(":443"))
+                    .when(k % 4 == 2, F.lit(":8080"))
+                    .otherwise(F.lit("")),
+                    F.when(
+                        k % 2 == 0, F.concat(F.lit("/Item/"), k.cast("string"))
+                    ).otherwise(F.lit("")),
+                    F.lit("?utm_source=news&id="),
+                    (k % 11).cast("string"),
+                    F.lit("&fbclid=abc"),
+                    F.when(k % 5 == 0, F.lit("&ref=tw")).otherwise(
+                        F.lit("&lang=en")
+                    ),
+                    F.lit("#sec"),
+                    (k % 7).cast("string"),
+                ).alias("url"),
+            )
+        )
+        return canonicalize_urls(urls).select("id", "url", "canonical_url", "host")
+
     def dedup_paragraphs(spark, sf):
         """Paragraph-level exact dedup (C4/RefinedWeb stage) over
         deterministic multi-paragraph composites (the synthetic docs carry
@@ -759,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": host_pagerank,
         "dedup_exact": dedup_exact,
         "dedup_paragraphs": dedup_paragraphs,
+        "url_canonical": url_canonical,
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
         "search_bm25": search_bm25,
@@ -865,6 +910,57 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {K_NN}
+"""
+    # ---- URL canonicalization over deterministic synthetic urls; the regex
+    # chain mirrors functions/urls.py pattern-for-pattern (Java ∩ RE2
+    # dialect). host column strips ANY port; the canonical form keeps
+    # non-default ports (and :443 on http).
+    URLCANON = r"""
+WITH u AS (
+  SELECT o_orderkey AS id,
+    (CASE WHEN o_orderkey % 3 = 0 THEN 'HTTP://WWW.Shop' ELSE 'https://CDN.shop' END
+     || CAST(o_custkey % 23 AS VARCHAR) || '.ExAmple.COM'
+     || CASE o_orderkey % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+             WHEN 2 THEN ':8080' ELSE '' END
+     || CASE WHEN o_orderkey % 2 = 0 THEN '/Item/' || CAST(o_orderkey AS VARCHAR)
+             ELSE '' END
+     || '?utm_source=news&id=' || CAST(o_orderkey % 11 AS VARCHAR)
+     || '&fbclid=abc'
+     || CASE WHEN o_orderkey % 5 = 0 THEN '&ref=tw' ELSE '&lang=en' END
+     || '#sec' || CAST(o_orderkey % 7 AS VARCHAR)) AS url
+  FROM orders WHERE o_orderkey < 4000
+),
+parts AS (
+  SELECT id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+  FROM u
+),
+hostd AS (
+  SELECT id, url, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+           ELSE hostport END, '^www\.', '') AS chost,
+    regexp_replace(regexp_replace(hostport, ':[0-9]*$', ''), '^www\.', '') AS host,
+    regexp_extract(rest, '^([^?]*)', 1) AS path0,
+    regexp_extract(rest, '\?(.*)$', 1) AS query
+  FROM parts
+),
+fin AS (
+  SELECT id, url, scheme, chost, host,
+    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+    array_to_string(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT regexp_matches(p,
+        '^(utm_[^=&]*|gclid|fbclid|msclkid|ref)(=[^&]*)?$')), '&') AS qs
+  FROM hostd
+)
+SELECT id, url,
+  scheme || '://' || chost || path
+    || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url,
+  host
+FROM fin
 """
     # ---- paragraph-level exact dedup over deterministic composites:
     # composite c in [0,150) takes paragraph j in [0,4) from doc
@@ -1585,6 +1681,7 @@ FROM c, rc, ag
             "FROM documents) GROUP BY keep_id"
         ),
         "dedup_paragraphs": PARA,
+        "url_canonical": URLCANON,
         "dedup_ngram_jaccard": NGRAM,
         "search_bm25": BM25,
         "contamination_screen": CONTAM,
