@@ -214,6 +214,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
         )
 
+    def spam_mass_q(spark, sf):
+        """Relative spam mass with trusted core = ids 0..9, 3 fixed
+        iterations for both the uniform and the core-personalized rank
+        (Gyöngyi et al. 2006 mass estimate; |S|/n rescales the paper's
+        un-normalized core teleport to this engine's 1/|S| one)."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import spam_mass
+
+        seeds = spark.range(0, 10).select(F.col("id").cast("long"))
+        out = spam_mass(_edges(spark, sf), N_VERTS, seeds, max_iter=3)
+        return out.select(
+            "id",
+            F.round(F.col("pagerank") * 1e6).cast("long").alias("pr_e6"),
+            F.round(F.col("trustrank") * 1e6).cast("long").alias("tr_e6"),
+            F.round(F.col("rel_mass") * 1e6).cast("long").alias("rel_mass_e6"),
+        )
+
     def clustering_coefficient(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.algorithms.linkanalysis import clustering_coefficients
@@ -792,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_3iter": hits_3iter,
         "salsa_3iter": salsa_3iter,
         "pagerank_personalized": pagerank_personalized,
+        "spam_mass": spam_mass_q,
         "clustering_coefficient": clustering_coefficient,
         "bfs_from_seeds": bfs_from_seeds,
         "hyperball_nf": hyperball_nf,
@@ -1384,6 +1402,53 @@ WHERE len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i])) / 128.0 >= 0.4
         + "\nSELECT id, CAST(ROUND(r / (SELECT SUM(ABS(r)) FROM p3) * 1e6) AS BIGINT) "
         "AS rank_e6 FROM p3"
     )
+    # ---- spam mass: 3 unrolled uniform iterations + 3 unrolled
+    # core-personalized iterations (seeds 0..9), then
+    # rel_mass = (pr - (|S|/n)*tr) / pr over the L1-normalized ranks —
+    # both chains mirror the engine's iteration term order exactly
+    unif_iters = []
+    pers_iters = []
+    for k in range(1, 4):
+        unif_iters.append(
+            f"ud{k-1} AS (SELECT COALESCE(SUM(p.r), 0) AS dm FROM ur{k-1} p "
+            f"LEFT JOIN deg ON deg.id = p.id WHERE deg.id IS NULL),\n"
+            f"ut{k-1} AS (SELECT SUM(r) AS tm FROM ur{k-1}),\n"
+            f"uc{k} AS (SELECT e.dst AS id, SUM(p.r / deg.outdeg) AS contrib "
+            f"FROM e JOIN ur{k-1} p ON p.id = e.src JOIN deg ON deg.id = e.src "
+            f"GROUP BY e.dst),\n"
+            f"ur{k} AS MATERIALIZED (SELECT v.id, "
+            f"0.85 * (COALESCE(uc{k}.contrib, 0) + (SELECT dm FROM ud{k-1})/{N_VERTS}) "
+            f"+ 0.15/{N_VERTS} * (SELECT tm FROM ut{k-1}) AS r "
+            f"FROM v LEFT JOIN uc{k} ON uc{k}.id = v.id)"
+        )
+        pers_iters.append(
+            f"sdm{k-1} AS (SELECT COALESCE(SUM(p.r), 0) AS dm FROM sp{k-1} p "
+            f"LEFT JOIN deg ON deg.id = p.id WHERE deg.id IS NULL),\n"
+            f"stm{k-1} AS (SELECT SUM(r) AS tm FROM sp{k-1}),\n"
+            f"sc{k} AS (SELECT e.dst AS id, SUM(p.r / deg.outdeg) AS contrib "
+            f"FROM e JOIN sp{k-1} p ON p.id = e.src JOIN deg ON deg.id = e.src "
+            f"GROUP BY e.dst),\n"
+            f"sp{k} AS MATERIALIZED (SELECT vt.id, vt.t, "
+            f"0.85 * (COALESCE(sc{k}.contrib, 0) + (SELECT dm FROM sdm{k-1}) * vt.t) "
+            f"+ 0.15 * (SELECT tm FROM stm{k-1}) * vt.t AS r "
+            f"FROM vt LEFT JOIN sc{k} ON sc{k}.id = vt.id)"
+        )
+    SPAMM = (
+        f"WITH e AS MATERIALIZED ({E}), v AS MATERIALIZED ({V}),\n"
+        f"deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src),\n"
+        f"ur0 AS MATERIALIZED (SELECT id, 1.0/{N_VERTS} AS r FROM v),\n"
+        + ",\n".join(unif_iters)
+        + f",\nvt AS MATERIALIZED (SELECT id, CASE WHEN id < 10 THEN 0.1 ELSE 0.0 END AS t FROM v),\n"
+        f"sp0 AS (SELECT id, t, t AS r FROM vt),\n"
+        + ",\n".join(pers_iters)
+        + ",\nprn AS (SELECT id, r / (SELECT SUM(ABS(r)) FROM ur3) AS pr FROM ur3),\n"
+        "trn AS (SELECT id, r / (SELECT SUM(ABS(r)) FROM sp3) AS tr FROM sp3)\n"
+        "SELECT prn.id, CAST(ROUND(pr * 1e6) AS BIGINT) AS pr_e6, "
+        "CAST(ROUND(tr * 1e6) AS BIGINT) AS tr_e6, "
+        f"CAST(ROUND(CASE WHEN pr > 0 THEN (pr - {10.0 / N_VERTS!r} * tr) / pr "
+        "ELSE 0.0 END * 1e6) AS BIGINT) AS rel_mass_e6 "
+        "FROM prn JOIN trn ON trn.id = prn.id"
+    )
     # ---- local clustering coefficient: cc(v) = 2*T(v) / (d*(d-1)) over the
     # undirected simple graph (same canonical edge set TRI builds on)
     CLUSTER = (
@@ -1667,6 +1732,7 @@ FROM c, rc, ag
         "salsa_3iter": SALSA3,
         "bfs_from_seeds": BFS,
         "pagerank_personalized": PPR3,
+        "spam_mass": SPAMM,
         "clustering_coefficient": CLUSTER,
         "hyperball_nf": HYPERBALL,
         "random_walks": WALKS,

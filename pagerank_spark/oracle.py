@@ -227,6 +227,24 @@ def personalized_pagerank_numpy(
     return r / s if s else r
 
 
+def spam_mass_numpy(
+    edges: np.ndarray,
+    n: int,
+    seeds: list[int],
+    c: float = 0.85,
+    max_iter: int = 20,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fixed-iteration spam mass (linkanalysis.spam_mass semantics):
+    rel_mass = (pr - (|S|/n) * tr) / pr over the L1-normalized uniform and
+    seed-personalized ranks. Returns (pr, tr, rel_mass)."""
+    pr, _, _ = pagerank_numpy(edges, n, c=c, eps=0.0, max_iter=max_iter)
+    tr = personalized_pagerank_numpy(edges, n, seeds, c=c, max_iter=max_iter)
+    scale = float(len(seeds)) / float(n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = np.where(pr > 0, (pr - scale * tr) / pr, 0.0)
+    return pr, tr, m
+
+
 def clustering_numpy(edges: np.ndarray, n: int) -> dict[int, tuple[int, int, float]]:
     """Per-vertex (degree, n_triangles, cc) over the simple undirected
     graph; only vertices with >= 1 neighbor appear (matching

@@ -177,6 +177,45 @@ def test_personalized_pagerank_exact(spark, name):
         assert abs(got[i] - exp[i]) < 1e-12
 
 
+@pytest.mark.parametrize("name", ["chain_8", "cycle_8", "star_hub", "two_islands"])
+def test_spam_mass_exact(spark, name):
+    from pagerank_spark.algorithms.linkanalysis import spam_mass
+    from pagerank_spark.oracle import spam_mass_numpy
+
+    arr, n = micro_graphs()[name]
+    seeds = [0, 1]
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "id long")
+    out = spam_mass(edges_from_numpy(spark, arr), n, seeds_df, max_iter=4)
+    got = {
+        r["id"]: (r["pagerank"], r["trustrank"], r["rel_mass"])
+        for r in out.collect()
+    }
+    pr, tr, m = spam_mass_numpy(arr, n, seeds, max_iter=4)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert abs(got[i][0] - pr[i]) < 1e-12
+        assert abs(got[i][1] - tr[i]) < 1e-12
+        assert abs(got[i][2] - m[i]) < 1e-10
+
+
+def test_spam_mass_flags_unsupported_region(spark):
+    """On two disconnected islands with the trusted core in island A, every
+    island-B vertex gets trustrank exactly 0 -> rel_mass exactly 1 (its
+    rank is entirely unsupported by the core); core-side vertices sit well
+    below 1."""
+    from pagerank_spark.algorithms.linkanalysis import spam_mass
+
+    arr, n = micro_graphs()["two_islands"]
+    island_a = {int(u) for u, v in arr if int(u) < n // 2} | {0}
+    seeds_df = spark.createDataFrame([(min(island_a),)], "id long")
+    out = spam_mass(edges_from_numpy(spark, arr), n, seeds_df, max_iter=6)
+    rows = {r["id"]: r for r in out.collect()}
+    for i in range(n):
+        if i in island_a or rows[i]["trustrank"] > 0:
+            continue
+        assert rows[i]["rel_mass"] == 1.0
+
+
 def test_personalized_pagerank_concentrates_on_seeds(spark):
     # teleport mass lands only on seeds: on two disconnected triangles,
     # seeding island A must leave island B with zero rank
