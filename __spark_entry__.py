@@ -336,6 +336,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("group_size"))
         )
 
+    def warc_ingest(spark, sf):
+        """WARC container round-trip: the first 200 documents serialized
+        into a per-record-gzip .warc.gz (the Common Crawl convention; the
+        200-row driver collect is fixture GENERATION, not the read path),
+        read back via the distributed reader, and fingerprinted. The
+        oracle recomputes url/bytes/md5/timestamp straight from the
+        documents table, so the whole binary container round-trip is
+        value-checked."""
+        _spark_ready(spark)
+        import os
+        import tempfile
+        from datetime import datetime, timedelta, timezone
+
+        from pagerank_spark.sources.warcfile import read_warc, write_warc
+
+        rows = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()
+        )
+        base = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        recs = [
+            (
+                f"https://docs.example/{r['doc_id']}",
+                base + timedelta(seconds=int(r["doc_id"])),
+                "response",
+                "text/plain",
+                (r["text"] or "").encode("utf-8"),
+            )
+            for r in rows
+        ]
+        path = os.path.join(tempfile.gettempdir(), "prq_warc_ingest.warc.gz")
+        write_warc(recs, path)
+        w = read_warc(spark, path).filter(F.col("rec_type") == "response")
+        return w.select(
+            F.regexp_extract("url", r"/([0-9]+)$", 1).cast("long").alias("doc_id"),
+            "url",
+            F.length("payload").cast("long").alias("payload_bytes"),
+            F.md5("payload").alias("payload_md5"),
+            F.unix_micros(F.col("warc_ts")).alias("ts_micros"),
+        )
+
     def url_canonical(spark, sf):
         """URL canonicalization over deterministic synthetic urls built
         from the orders table — covers scheme case, www, default and
@@ -822,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_paragraphs": dedup_paragraphs,
         "url_canonical": url_canonical,
+        "warc_ingest": warc_ingest,
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
         "search_bm25": search_bm25,
@@ -1748,6 +1793,15 @@ FROM c, rc, ag
         ),
         "dedup_paragraphs": PARA,
         "url_canonical": URLCANON,
+        "warc_ingest": (
+            "SELECT doc_id, "
+            "'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes, "
+            "md5(text) AS payload_md5, "
+            "epoch_us(TIMESTAMP '2026-01-01 00:00:00' "
+            "+ doc_id * INTERVAL 1 SECOND) AS ts_micros "
+            "FROM documents WHERE doc_id < 200"
+        ),
         "dedup_ngram_jaccard": NGRAM,
         "search_bm25": BM25,
         "contamination_screen": CONTAM,

@@ -1,0 +1,71 @@
+"""WARC source: byte round-trips for both container conventions, the
+payload-containing-magic-bytes trap, and multi-file ingest."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from pagerank_spark.sources.warcfile import parse_warc_bytes, read_warc, write_warc
+
+T0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+RECORDS = [
+    ("https://a.example/1", T0, "response", "text/html", b"<html>hi</html>"),
+    # payload containing the record magic — Content-Length delimiting must
+    # not split here (a scan for b"WARC/1.0" would)
+    (
+        "https://a.example/2",
+        datetime(2026, 1, 1, 0, 3, 20, tzinfo=timezone.utc),
+        "response",
+        "application/octet-stream",
+        b"xxWARC/1.0\r\nWARC-Type: fake\r\n\r\nyy",
+    ),
+    ("https://a.example/3", T0, "metadata", "application/json", b""),
+    ("https://a.example/4", T0, "response", "text/plain", "unicodé".encode()),
+]
+
+
+def _norm(rows):
+    return sorted(
+        (
+            r["url"],
+            r["warc_ts"].replace(tzinfo=timezone.utc).timestamp(),
+            r["rec_type"],
+            r["content_type"],
+            bytes(r["payload"]),
+        )
+        for r in rows
+    )
+
+
+EXPECT = sorted(
+    (u, ts.timestamp(), rt, ct, p) for u, ts, rt, ct, p in RECORDS
+)
+
+
+def test_parse_is_writer_inverse_local():
+    import io
+
+    buf = io.BytesIO()
+    write_warc(RECORDS, "/tmp/_warc_local.warc")
+    data = open("/tmp/_warc_local.warc", "rb").read()
+    got = list(parse_warc_bytes(data))
+    assert [(u, ts, rt, ct, p) for u, ts, rt, ct, p in got] == RECORDS
+    assert buf is not None
+
+
+@pytest.mark.parametrize("suffix", ["warc", "warc.gz"])
+def test_read_warc_roundtrip_distributed(spark, tmp_path, suffix):
+    path = str(tmp_path / f"f1.{suffix}")
+    write_warc(RECORDS, path)
+    got = read_warc(spark, path).collect()
+    assert _norm(got) == EXPECT
+
+
+def test_read_warc_glob_multiple_files(spark, tmp_path):
+    write_warc(RECORDS[:2], str(tmp_path / "p1.warc.gz"))
+    write_warc(RECORDS[2:], str(tmp_path / "p2.warc.gz"))
+    got = read_warc(spark, str(tmp_path / "*.warc.gz")).collect()
+    assert _norm(got) == EXPECT
