@@ -380,6 +380,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.unix_micros(F.col("warc_ts")).alias("ts_micros"),
         )
 
+    def http_parse(spark, sf):
+        """HTTP response-payload parsing over synthesized payloads (every
+        doc < 300 becomes a raw HTTP response: status by doc_id mod 7,
+        header case alternating by mod 3, body = the doc text). The
+        oracle recomputes every field from the CONSTRUCTION, independently
+        checking the parser's status/header/body splits."""
+        _spark_ready(spark)
+        from pagerank_spark.sources.warcfile import parse_http_response
+
+        k = F.col("doc_id")
+        payload = F.encode(
+            F.concat(
+                F.lit("HTTP/1.1 "),
+                F.when(k % 7 == 0, F.lit("404 Not Found")).otherwise(
+                    F.lit("200 OK")
+                ),
+                F.lit("\r\nServer: synth\r\n"),
+                F.when(
+                    k % 3 == 0, F.lit("Content-Type: text/plain\r\n")
+                ).otherwise(F.lit("content-type: text/html; charset=utf-8\r\n")),
+                F.lit("\r\n"),
+                F.col("text"),
+            ),
+            "UTF-8",
+        )
+        d = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 300)
+            .select("doc_id", payload.alias("payload"))
+        )
+        return parse_http_response(d).select(
+            "doc_id",
+            "http_status",
+            "http_content_type",
+            F.length("body").cast("long").alias("body_bytes"),
+            F.md5("body").alias("body_md5"),
+        )
+
     def url_canonical(spark, sf):
         """URL canonicalization over deterministic synthetic urls built
         from the orders table — covers scheme case, www, default and
@@ -867,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": dedup_paragraphs,
         "url_canonical": url_canonical,
         "warc_ingest": warc_ingest,
+        "http_parse": http_parse,
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
         "search_bm25": search_bm25,
@@ -1801,6 +1840,15 @@ FROM c, rc, ag
             "epoch_us(TIMESTAMP '2026-01-01 00:00:00' "
             "+ doc_id * INTERVAL 1 SECOND) AS ts_micros "
             "FROM documents WHERE doc_id < 200"
+        ),
+        "http_parse": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS http_status, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'text/plain' "
+            "ELSE 'text/html; charset=utf-8' END AS http_content_type, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes, "
+            "md5(text) AS body_md5 "
+            "FROM documents WHERE doc_id < 300"
         ),
         "dedup_ngram_jaccard": NGRAM,
         "search_bm25": BM25,

@@ -152,3 +152,36 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
+
+
+def parse_http_response(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Split ``application/http; msgtype=response`` payloads (what Common
+    Crawl response records actually carry) into typed columns::
+
+        http_status       int     from the status line
+        http_content_type string  Content-Type header (case-insensitive)
+        body              binary  everything after the header block
+
+    Pure Column expressions — the payload is decoded ISO-8859-1 (a
+    lossless byte<->char bijection, unlike UTF-8 which would mangle
+    binary bodies), parsed with regex/locate, and the body re-encoded to
+    the original bytes. Map-only, whole-stage codegen, no UDF; rows whose
+    payload is not an HTTP response get NULL status/content-type and the
+    whole payload as body.
+    """
+    from pyspark.sql import functions as F
+
+    s = F.decode(F.col(payload_col), "ISO-8859-1")
+    sep = F.locate("\r\n\r\n", s)
+    status = F.regexp_extract(s, r"^HTTP/1\.[01] ([0-9]{3})", 1)
+    head = F.when(sep > 0, F.substring(s, F.lit(1), sep - 1)).otherwise(s)
+    ctype = F.regexp_extract(head, r"(?i)\r\ncontent-type: *([^\r\n]*)", 1)
+    body = F.when(sep > 0, F.substring(s, sep + 4, F.length(s))).otherwise(s)
+    return (
+        df.withColumn(
+            "http_status",
+            F.when(status != "", status.cast("int")),
+        )
+        .withColumn("http_content_type", F.when(ctype != "", ctype))
+        .withColumn("body", F.encode(body, "ISO-8859-1"))
+    )

@@ -69,3 +69,38 @@ def test_read_warc_glob_multiple_files(spark, tmp_path):
     write_warc(RECORDS[2:], str(tmp_path / "p2.warc.gz"))
     got = read_warc(spark, str(tmp_path / "*.warc.gz")).collect()
     assert _norm(got) == EXPECT
+
+
+def test_parse_http_response_columns(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.sources.warcfile import parse_http_response
+
+    binary_body = bytes(range(256))  # every byte value must round-trip
+    payloads = [
+        (1, b"HTTP/1.1 200 OK\r\nServer: x\r\nContent-Type: text/html; charset=utf-8\r\n\r\n<html>ok</html>"),
+        (2, b"HTTP/1.0 404 Not Found\r\ncontent-type: text/plain\r\n\r\n"),
+        (3, b"HTTP/1.1 200 OK\r\nServer: y\r\n\r\n" + binary_body),
+        (4, b"not an http payload at all"),
+    ]
+    df = spark.createDataFrame(payloads, "id long, payload binary")
+    got = {
+        r["id"]: (r["http_status"], r["http_content_type"], bytes(r["body"]))
+        for r in parse_http_response(df).collect()
+    }
+    assert got[1] == (200, "text/html; charset=utf-8", b"<html>ok</html>")
+    assert got[2] == (404, "text/plain", b"")
+    assert got[3] == (200, None, binary_body)
+    assert got[4] == (None, None, b"not an http payload at all")
+
+
+def test_parse_http_response_stays_jvm_side(spark):
+    from pagerank_spark.sources.warcfile import parse_http_response
+
+    df = spark.createDataFrame([(1, b"x")], "id long, payload binary")
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        parse_http_response(df)._jdf.queryExecution(), "formatted"
+    )
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan
+    assert "Exchange" not in plan
