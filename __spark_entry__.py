@@ -380,6 +380,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.unix_micros(F.col("warc_ts")).alias("ts_micros"),
         )
 
+    def robots_allowed(spark, sf):
+        """robots.txt politeness decisions over a deterministic
+        construction: 25 hosts each publish a robots.txt (an evilbot
+        group that must be IGNORED, plus a prbot group with prefix,
+        wildcard-tie, and $-anchored rules parameterized by host); urls
+        from orders hit every decision class. The Spark side goes
+        text -> parse -> filter; the oracle derives the rules RELATIONALLY
+        from the same construction and replays the LIKE longest-match
+        decision — so a parser bug diverges the decisions."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.robots import robots_filter, robots_rules
+
+        h = F.col("id")
+        a = (h % 3).cast("string")
+        robots = spark.range(0, 25).select(
+            F.concat(F.lit("site"), h.cast("string"), F.lit(".example")).alias(
+                "host"
+            ),
+            F.concat(
+                F.lit(
+                    "User-agent: evilbot\nDisallow: /\n\n"
+                    "User-agent: prbot\nAllow: /tie*\nDisallow: /tie/\n"
+                    "Disallow: /q"
+                ),
+                a,
+                F.lit("\nAllow: /q"),
+                a,
+                F.lit("/pub$\n"),
+            ).alias("robots_txt"),
+        )
+        rules = robots_rules(robots, agent="prbot")
+
+        k = F.col("o_orderkey")
+        a2 = (k % 3).cast("string")
+        path = (
+            F.when(k % 6 == 0, F.concat(F.lit("/q"), a2))
+            .when(k % 6 == 1, F.concat(F.lit("/q"), a2, F.lit("/pub")))
+            .when(k % 6 == 2, F.concat(F.lit("/q"), a2, F.lit("/pubx")))
+            .when(k % 6 == 3, F.concat(F.lit("/q"), a2, F.lit("/x_y")))
+            .when(k % 6 == 4, F.lit("/tie/z"))
+            .otherwise(F.lit("/other"))
+        )
+        urls = (
+            spark.read.parquet(f"{sf}/orders.parquet")
+            .filter(k < 5000)
+            .select(
+                k.alias("id"),
+                F.concat(
+                    F.lit("https://site"),
+                    (F.col("o_custkey") % 25).cast("string"),
+                    F.lit(".example"),
+                    path,
+                ).alias("url"),
+            )
+        )
+        return robots_filter(urls, rules).select("id", "url", "allowed")
+
     def http_parse(spark, sf):
         """HTTP response-payload parsing over synthesized payloads (every
         doc < 300 becomes a raw HTTP response: status by doc_id mod 7,
@@ -906,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": url_canonical,
         "warc_ingest": warc_ingest,
         "http_parse": http_parse,
+        "robots_allowed": robots_allowed,
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
         "search_bm25": search_bm25,
@@ -1850,6 +1908,47 @@ FROM c, rc, ag
             "md5(text) AS body_md5 "
             "FROM documents WHERE doc_id < 300"
         ),
+        "robots_allowed": r"""
+WITH hosts AS (SELECT range AS h FROM range(0, 25)),
+rules AS (
+  SELECT h, TRUE AS allow, '/tie*' AS pattern FROM hosts
+  UNION ALL SELECT h, FALSE, '/tie/' FROM hosts
+  UNION ALL SELECT h, FALSE, '/q' || CAST(h % 3 AS VARCHAR) FROM hosts
+  UNION ALL SELECT h, TRUE, '/q' || CAST(h % 3 AS VARCHAR) || '/pub$' FROM hosts
+),
+rl AS (
+  SELECT h, allow, pattern, length(pattern) AS plen,
+    CASE WHEN pattern LIKE '%$' THEN substr(star, 1, length(star) - 1)
+         ELSE star || '%' END AS lp
+  FROM (SELECT h, allow, pattern,
+          replace(replace(replace(replace(pattern,
+            '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS star
+        FROM rules)
+),
+urls AS (
+  SELECT o_orderkey AS id, o_custkey % 25 AS h,
+    CASE o_orderkey % 6
+      WHEN 0 THEN '/q' || CAST(o_orderkey % 3 AS VARCHAR)
+      WHEN 1 THEN '/q' || CAST(o_orderkey % 3 AS VARCHAR) || '/pub'
+      WHEN 2 THEN '/q' || CAST(o_orderkey % 3 AS VARCHAR) || '/pubx'
+      WHEN 3 THEN '/q' || CAST(o_orderkey % 3 AS VARCHAR) || '/x_y'
+      WHEN 4 THEN '/tie/z'
+      ELSE '/other'
+    END AS path
+  FROM orders WHERE o_orderkey < 5000
+),
+m AS (
+  SELECT u.id, u.h, u.path,
+    MAX(CASE WHEN r.pattern IS NOT NULL AND u.path LIKE r.lp ESCAPE '\'
+        THEN struct_pack(l := r.plen, a := r.allow) END) AS best
+  FROM urls u LEFT JOIN rl r ON r.h = u.h
+  GROUP BY u.id, u.h, u.path
+)
+SELECT id,
+  'https://site' || CAST(h AS VARCHAR) || '.example' || path AS url,
+  COALESCE(best.a, TRUE) AS allowed
+FROM m
+""",
         "dedup_ngram_jaccard": NGRAM,
         "search_bm25": BM25,
         "contamination_screen": CONTAM,

@@ -1,0 +1,99 @@
+"""robots.txt parse + filter: RFC 9309 group selection and the
+longest-match / allow-wins-tie / no-match-allowed decision rule."""
+
+from __future__ import annotations
+
+from pagerank_spark.pipeline.robots import (
+    parse_robots_text,
+    robots_filter,
+    robots_rules,
+)
+
+ROBOTS = """\
+# crawler policy
+User-agent: evilbot
+Disallow: /
+
+User-agent: prbot
+User-agent: otherbot
+Disallow:
+Allow: /tie*
+Disallow: /tie/
+Disallow: /private
+Allow: /private/ok$
+Crawl-delay: 10
+Sitemap: https://a.example/sitemap.xml
+"""
+
+
+def test_parse_group_selection_and_directives():
+    # exact agent match picks the shared prbot/otherbot group, not evilbot's
+    got = parse_robots_text(ROBOTS, "PrBot")
+    assert got == [
+        (True, "/tie*"),
+        (False, "/tie/"),
+        (False, "/private"),
+        (True, "/private/ok$"),
+    ]
+    # unknown agent falls back to the '*' group; none here -> no rules
+    assert parse_robots_text(ROBOTS, "nobody") == []
+    # the evil group is reachable by its own name
+    assert parse_robots_text(ROBOTS, "evilbot") == [(False, "/")]
+    assert parse_robots_text(None, "x") == []
+
+
+def test_parse_star_group_fallback():
+    txt = "User-agent: *\nDisallow: /x\n\nUser-agent: special\nAllow: /x"
+    assert parse_robots_text(txt, "anyone") == [(False, "/x")]
+    assert parse_robots_text(txt, "Special") == [(True, "/x")]
+
+
+def test_robots_filter_decisions(spark):
+    robots = spark.createDataFrame(
+        [("a.example", ROBOTS), ("empty.example", "")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots, agent="prbot")
+    got_rules = {
+        (r["host"], r["allow"], r["pattern"]) for r in rules.collect()
+    }
+    assert ("a.example", False, "/private") in got_rules
+    assert all(h == "a.example" for h, _, _ in got_rules)
+
+    cases = [
+        # (url, expect_allowed)
+        ("https://a.example/", True),                 # no rule matches
+        ("https://a.example/private", False),          # prefix disallow
+        ("https://a.example/private/x", False),        # prefix extends
+        ("https://a.example/private/ok", True),        # $-anchored allow (longer)
+        ("https://a.example/private/okx", False),      # $ must not match past end
+        ("https://a.example/tie/x", True),             # equal length: allow wins
+        ("https://www.A.example/private", False),      # host normalization
+        ("https://unknown.example/private", True),     # no rules for host
+        ("https://empty.example/private", True),       # empty robots.txt
+    ]
+    urls = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
+    for u, want in cases:
+        assert got[u] is want, (u, want, got[u])
+
+
+def test_robots_filter_like_metachars(spark):
+    """URL paths containing %/_ and robots patterns containing them must
+    not leak LIKE semantics (escaping test)."""
+    rules_df = spark.createDataFrame(
+        [("h.example", False, "/a_b"), ("h.example", False, "/c%d")],
+        "host string, allow boolean, pattern string",
+    )
+    cases = [
+        ("https://h.example/a_b", False),   # literal _ matches
+        ("https://h.example/axb", True),    # _ must NOT be a wildcard
+        ("https://h.example/c%d", False),
+        ("https://h.example/cXd", True),    # % must NOT be a wildcard
+    ]
+    urls = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["allowed"] for r in robots_filter(urls, rules_df).collect()
+    }
+    for u, want in cases:
+        assert got[u] is want, (u, want, got[u])
