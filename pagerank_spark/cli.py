@@ -172,12 +172,48 @@ def cmd_hits(args) -> int:
     from pagerank_spark.sources.graphfile import vertices_df
 
     edges, n = _load_edges(spark, args)
-    res = hits(edges, vertices_df(spark, n), max_iter=args.max_iter)
+    res = hits(
+        edges,
+        vertices_df(spark, n),
+        max_iter=args.max_iter,
+        degree_normalized=getattr(args, "salsa", False),
+    )
     if args.output:
         res.scores.write.mode("overwrite").parquet(args.output)
     top = res.scores.orderBy(F.desc("auth"), F.asc("id")).limit(1).first()
     print(json.dumps({"iterations": res.iterations,
                       "top_auth_id": int(top["id"]) if top else None}))
+    return 0
+
+
+def cmd_spam_mass(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.linkanalysis import spam_mass
+
+    edges, n = _load_edges(spark, args)
+    seeds = spark.createDataFrame(
+        [(int(s),) for s in args.seeds.split(",")], "id long"
+    )
+    out = spam_mass(edges, n, seeds, c=args.c, max_iter=args.max_iter)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rel_mass").alias("m"),
+        F.sum(F.when(F.col("rel_mass") > args.threshold, 1).otherwise(0)).alias(
+            "flagged"
+        ),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "n": int(row["n"]),
+                "max_rel_mass": float(row["m"]),
+                "flagged": int(row["flagged"]),
+                "threshold": args.threshold,
+            }
+        )
+    )
     return 0
 
 
@@ -415,7 +451,20 @@ def main(argv: list[str] | None = None) -> int:
     ht = sub.add_parser("hits")
     graph_args(ht)
     ht.add_argument("--max-iter", type=int, default=5)
+    ht.add_argument(
+        "--salsa",
+        action="store_true",
+        help="degree-normalized (SALSA) variant instead of HITS",
+    )
     ht.set_defaults(fn=cmd_hits)
+
+    sm = sub.add_parser("spam-mass", help="TrustRank-based link-spam mass")
+    graph_args(sm)
+    sm.add_argument("--seeds", required=True, help="comma-separated trusted ids")
+    sm.add_argument("--c", type=float, default=0.85)
+    sm.add_argument("--max-iter", type=int, default=20)
+    sm.add_argument("--threshold", type=float, default=0.9)
+    sm.set_defaults(fn=cmd_spam_mass)
 
     pp = sub.add_parser("ppr", help="personalized (topic-sensitive) pagerank")
     graph_args(pp)

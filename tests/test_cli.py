@@ -215,3 +215,14 @@ def test_cli_walks_and_cocite_subcommands():
 
     r = run_cli("cocite", "--graph-file", gf, "--max-src-fanout", "1000000")
     assert r["pairs"] == 10950 and r["max_common"] >= 2
+
+
+def test_cli_salsa_and_spam_mass():
+    gf = "/root/reference/Pagerank/src/test1.graph"
+    r = run_cli("hits", "--graph-file", gf, "--max-iter", "2", "--salsa")
+    assert r["iterations"] == 2 and r["top_auth_id"] is not None
+
+    r = run_cli("spam-mass", "--graph-file", gf, "--seeds", "0,1,2",
+                "--max-iter", "3", "--threshold", "0.99")
+    assert r["n"] > 0 and 0.0 <= r["max_rel_mass"] <= 1.0
+    assert 0 <= r["flagged"] <= r["n"]

@@ -484,3 +484,22 @@ def test_co_citation_pair_join_plan(spark):
     assert bc == 0, "broadcast of an O(E) self-join side above the gate"
     assert sh == 1, f"pair generation planned {sh} shuffle exchanges, want 1"
     spark.catalog.clearCache()  # release the audit run's pinned by_src
+
+
+def test_paragraph_dedup_election_is_aggregate_not_window(spark):
+    """The first-occurrence election must compile to partial+final
+    HashAggregates (map-side combine absorbs boilerplate-hot paragraph
+    keys) and NEVER to a Window over the hash — a window sorts every copy
+    of the hot key on one reducer, the exact skew this operator exists to
+    survive."""
+    from pagerank_spark.pipeline.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"p{i % 3}\n\nq{i}") for i in range(50)], "doc_id long, text string"
+    )
+    df = paragraph_dedup(docs)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final for the min
+    sh, _ = _exchanges(df)
+    assert sh <= 3, f"paragraph dedup planned {sh} shuffles, want <= 3"
