@@ -251,6 +251,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.col("dist").cast("int").alias("dist")
         )
 
+    def ego_edges(spark, sf):
+        """Radius-2 directed ego network of seeds 0..2: edges induced on
+        the BFS reach, multiplicity preserved (the oracle joins the raw
+        edge table against the recursive reach on both endpoints)."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import ego_network
+
+        centers = spark.range(0, 3).select(F.col("id").cast("long"))
+        return ego_network(_edges(spark, sf), centers, radius=2).select(
+            "src", "dst"
+        )
+
     def hyperball_nf(spark, sf):
         """HyperBall neighborhood-function registers, 2 hops: per (id, t)
         the exact integer HLL summary (s_int = sum_j 2^(55-r_j), zero
@@ -436,6 +448,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         return robots_filter(urls, rules).select("id", "url", "allowed")
+
+    def sitemap_urls(spark, sf):
+        """Sitemap XML round-trip: per-host urlset documents are built
+        from orders (entries in o_orderkey order), then <loc> entries are
+        exploded back out; the oracle derives (host, loc) directly from
+        the construction."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.robots import sitemap_locs
+
+        k = F.col("o_orderkey")
+        ent = F.concat(
+            F.lit("<url><loc> https://s"),
+            (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".example/p"),
+            k.cast("string"),
+            F.lit(" </loc></url>"),
+        )
+        sm = (
+            spark.read.parquet(f"{sf}/orders.parquet")
+            .filter(k < 5000)
+            .select((F.col("o_custkey") % 20).alias("g"), k.alias("k"), ent.alias("e"))
+            .groupBy("g")
+            .agg(
+                F.concat(
+                    F.lit('<?xml version="1.0"?><urlset>'),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("k", "e"))),
+                            lambda s: s["e"],
+                        ),
+                        "",
+                    ),
+                    F.lit("</urlset>"),
+                ).alias("sitemap_xml")
+            )
+        )
+        return sitemap_locs(sm).select("g", "loc")
 
     def http_parse(spark, sf):
         """HTTP response-payload parsing over synthesized payloads (every
@@ -951,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": spam_mass_q,
         "clustering_coefficient": clustering_coefficient,
         "bfs_from_seeds": bfs_from_seeds,
+        "ego_edges": ego_edges,
         "hyperball_nf": hyperball_nf,
         "random_walks": random_walks_q,
         "co_citation": co_citation_q,
@@ -964,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": warc_ingest,
         "http_parse": http_parse,
         "robots_allowed": robots_allowed,
+        "sitemap_urls": sitemap_urls,
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
         "search_bm25": search_bm25,
@@ -1873,6 +1924,17 @@ FROM c, rc, ag
         "hits_3iter": HITS3,
         "salsa_3iter": SALSA3,
         "bfs_from_seeds": BFS,
+        "ego_edges": (
+            f"WITH RECURSIVE e AS MATERIALIZED ({E}),\n"
+            "r(id, d) AS (\n"
+            "  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), (1, 0), (2, 0)) t(id, d)\n"
+            "  UNION\n"
+            "  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 2\n"
+            "),\n"
+            "v AS (SELECT DISTINCT id FROM r)\n"
+            "SELECT e.src, e.dst FROM e "
+            "JOIN v a ON a.id = e.src JOIN v b ON b.id = e.dst"
+        ),
         "pagerank_personalized": PPR3,
         "spam_mass": SPAMM,
         "clustering_coefficient": CLUSTER,
@@ -1949,6 +2011,12 @@ SELECT id,
   COALESCE(best.a, TRUE) AS allowed
 FROM m
 """,
+        "sitemap_urls": (
+            "SELECT o_custkey % 20 AS g, "
+            "'https://s' || CAST(o_custkey % 20 AS VARCHAR) || '.example/p' "
+            "|| CAST(o_orderkey AS VARCHAR) AS loc "
+            "FROM orders WHERE o_orderkey < 5000"
+        ),
         "dedup_ngram_jaccard": NGRAM,
         "search_bm25": BM25,
         "contamination_screen": CONTAM,

@@ -509,6 +509,42 @@ def bfs_distances(
     return dist
 
 
+def induced_subgraph(edges: DataFrame, vertex_ids: DataFrame) -> DataFrame:
+    """Edges whose BOTH endpoints are in ``vertex_ids`` (id) — edge
+    multiplicity preserved. Two left-semi joins against the deduplicated
+    vertex set; the vertex side is size-gated (broadcast below
+    ``util.BROADCAST_SAFE_ROWS``, shuffle-hash above) like every O(V)
+    join side in the engine."""
+    v = vertex_ids.select(F.col("id").cast("long").alias("id")).distinct()
+    n_verts = _util.approx_vertex_count(vertex_ids, src="id", dst="id")
+
+    def no_bcast(df: DataFrame) -> DataFrame:
+        return df if n_verts <= _util.BROADCAST_SAFE_ROWS else df.hint("shuffle_hash")
+
+    e = edges.join(no_bcast(v), edges.src == v.id, "left_semi")
+    return e.join(no_bcast(v), e.dst == v.id, "left_semi")
+
+
+def ego_network(
+    edges: DataFrame,
+    centers: DataFrame,
+    radius: int = 2,
+    directed: bool = True,
+) -> DataFrame:
+    """The radius-``radius`` ego network of ``centers`` (id): the subgraph
+    induced on every vertex within ``radius`` hops of any center — the
+    standard neighborhood-extraction primitive for debugging a ranking,
+    sampling training subgraphs, or visualizing a spam cluster.
+
+    Composition of the engine's audited pieces: :func:`bfs_distances`
+    (one shuffle per hop, state O(reached)) then :func:`induced_subgraph`
+    (two size-gated semi-joins). Returns the induced edge table; call
+    ``bfs_distances`` directly when the hop distances are also needed.
+    """
+    reached = bfs_distances(edges, centers, max_hops=radius, directed=directed)
+    return induced_subgraph(edges, reached.select("id"))
+
+
 def weighted_pagerank(
     edges: DataFrame,
     n: int,

@@ -194,3 +194,36 @@ def robots_filter(
         .withColumn("allowed", F.coalesce(F.col("_rb_best.a"), F.lit(True)))
     )
     return best.drop("_rb_best")
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> (host, sitemap_url), one row per ``Sitemap:``
+    directive. Sitemap lines are group-independent (RFC 9309), so this is
+    a pure Column regex over the raw text — no parse state, map-only."""
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"(?i)sitemap:[ \t]*([^ \t\r\n#]+)"), 1
+            )
+        ).alias("sitemap_url"),
+    )
+
+
+def sitemap_locs(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
+    """Explode ``<loc>`` entries out of sitemap XML (urlset AND
+    sitemapindex — the tag is the same; indexes point at more sitemaps,
+    which the crawl loop fetches and feeds back through this). Regex
+    extraction is exact here because ``<loc>`` content is a url: XML
+    forbids a raw ``<`` inside it (it must be escaped), so ``[^<]*``
+    cannot over-capture. Map-only Column ops; keeps all input columns."""
+    return df.withColumn(
+        "loc",
+        F.explode(
+            F.regexp_extract_all(
+                F.col(xml_col), F.lit(r"<loc>[ \t\r\n]*([^<]*?)[ \t\r\n]*</loc>"), 1
+            )
+        ),
+    )

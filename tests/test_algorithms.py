@@ -216,6 +216,31 @@ def test_spam_mass_flags_unsupported_region(spark):
         assert rows[i]["rel_mass"] == 1.0
 
 
+@pytest.mark.parametrize("name", ["chain_8", "star_hub", "two_islands", "cycle_8"])
+@pytest.mark.parametrize("directed", [True, False])
+def test_ego_network_exact(spark, name, directed):
+    """Induced edges == numpy twin (BFS reach then endpoint filter),
+    multiplicity preserved."""
+    from pagerank_spark.algorithms.linkanalysis import ego_network
+    from pagerank_spark.oracle import bfs_numpy
+
+    arr, n = micro_graphs()[name]
+    centers = [0]
+    centers_df = spark.createDataFrame([(c,) for c in centers], "id long")
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in ego_network(
+            edges_from_numpy(spark, arr), centers_df, radius=2, directed=directed
+        ).collect()
+    )
+    dist = bfs_numpy(arr, n, centers, max_hops=2, directed=directed)
+    reach = set(dist)
+    want = sorted(
+        (int(u), int(v)) for u, v in arr if int(u) in reach and int(v) in reach
+    )
+    assert got == want
+
+
 def test_personalized_pagerank_concentrates_on_seeds(spark):
     # teleport mass lands only on seeds: on two disconnected triangles,
     # seeding island A must leave island B with zero rank

@@ -97,3 +97,33 @@ def test_robots_filter_like_metachars(spark):
     }
     for u, want in cases:
         assert got[u] is want, (u, want, got[u])
+
+
+def test_robots_sitemaps_and_sitemap_locs(spark):
+    from pagerank_spark.pipeline.robots import robots_sitemaps, sitemap_locs
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example",
+             "User-agent: *\nDisallow: /x\nSitemap: https://a.example/s1.xml\n"
+             "sitemap: https://a.example/s2.xml # trailing comment\n"),
+            ("b.example", "User-agent: *\nAllow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {(r["host"], r["sitemap_url"]) for r in robots_sitemaps(robots).collect()}
+    assert got == {
+        ("a.example", "https://a.example/s1.xml"),
+        ("a.example", "https://a.example/s2.xml"),
+    }
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.example/p1 </loc></url>"
+        "<url><loc>https://a.example/p2</loc></url></urlset>"
+    )
+    df = spark.createDataFrame(
+        [(1, xml), (2, "<urlset></urlset>")], "id long, sitemap_xml string"
+    )
+    locs = {(r["id"], r["loc"]) for r in sitemap_locs(df).collect()}
+    assert locs == {(1, "https://a.example/p1"), (1, "https://a.example/p2")}
