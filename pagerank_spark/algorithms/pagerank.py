@@ -146,6 +146,7 @@ class PageRank:
         scratch_dir: str | None = None,
         reuse_pack: bool = False,
         pack_key: str | None = None,
+        initial_ranks: DataFrame | None = None,
     ):
         self.c = c
         self.eps = eps
@@ -181,6 +182,33 @@ class PageRank:
         # supplied.
         self.reuse_pack = reuse_pack
         self.pack_key = pack_key
+        # warm start: (id, rank) to initialize the power iteration from —
+        # the recrawl/delta-update path (re-rank an updated graph starting
+        # from the previous crawl's ranks instead of 1/n). Ids absent from
+        # the table (new pages) start at 1/n. The iteration conserves total
+        # mass and the result is L1-normalized, so the fixed point is
+        # IDENTICAL to a cold start — warm starting only changes how many
+        # iterations convergence takes (1 when the graph didn't change).
+        # catalog resume, when it fires, takes precedence (it is a later
+        # snapshot of the same run). In the vector modes the table is
+        # pulled to the driver via Arrow — the same O(n) footprint as the
+        # rank vector those modes already hold.
+        self.initial_ranks = initial_ranks
+
+    def _init_vector(self, n: int) -> np.ndarray:
+        """Initial rank vector for the driver-vector modes: uniform, or
+        initial_ranks scattered over uniform (missing ids stay 1/n)."""
+        pi = np.full(n, 1.0 / n)
+        if self.initial_ranks is not None:
+            t = self.initial_ranks.select(
+                F.col("id").cast("long").alias("id"),
+                F.col("rank").cast("double").alias("rank"),
+            ).toArrow()
+            ids = t.column("id").to_numpy()
+            if len(ids) and (ids.min() < 0 or ids.max() >= n):
+                raise ValueError("initial_ranks ids outside [0, n)")
+            pi[ids] = t.column("rank").to_numpy()
+        return pi
 
     # ------------------------------------------------------------------ API
     def run(
@@ -298,13 +326,25 @@ class PageRank:
         # records its partitioning against the pre-cast attribute, which no
         # longer matches the LogicalRDD output → every downstream join would
         # re-exchange the state (guarded by the plan test).
+        base = spark.range(0, n, 1, shuffle_p).join(
+            no_bcast(src_ids.withColumn("nd", F.lit(True))), "id", "left"
+        )
+        if self.initial_ranks is not None:
+            # warm start: previous ranks ride in via one more size-gated
+            # O(V) join; ids absent from the table (new pages) start at 1/n
+            ir = self.initial_ranks.select(
+                F.col("id").cast("long").alias("id"),
+                F.col("rank").cast("double").alias("r0"),
+            )
+            base = base.join(no_bcast(ir), "id", "left")
+            rank_col = F.coalesce(F.col("r0"), F.lit(1.0 / n))
+        else:
+            rank_col = F.lit(1.0 / n)
         with _util.static_plan(spark):
             state = (
-                spark.range(0, n, 1, shuffle_p)
-                .join(no_bcast(src_ids.withColumn("nd", F.lit(True))), "id", "left")
-                .select(
+                base.select(
                     "id",
-                    F.lit(1.0 / n).alias("rank"),
+                    rank_col.alias("rank"),
                     F.coalesce(F.col("nd"), F.lit(False)).alias("non_dangling"),
                 )
                 .repartition(shuffle_p, "id")
@@ -389,7 +429,7 @@ class PageRank:
         dangling = outdeg == 0.0
         nz_ids = np.nonzero(~dangling)[0].astype(np.int64)
 
-        pi = np.full(n, 1.0 / n)
+        pi = self._init_vector(n)
         start_iter = 0
         if resume and self.catalog is not None:
             resumed = self._try_resume_vector(spark, run_id, n)
@@ -829,7 +869,7 @@ class PageRank:
         c, eps = self.c, self.eps
         dangling = outdeg == 0.0
 
-        pi = np.full(n, 1.0 / n)
+        pi = self._init_vector(n)
         start_iter = 0
         if resume and self.catalog is not None:
             resumed = self._try_resume_vector(spark, run_id, n)

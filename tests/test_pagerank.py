@@ -233,3 +233,53 @@ def test_dataframe_mode_hints_on_large_n(spark, monkeypatch):
     monkeypatch.setattr(PageRank, "BROADCASTABLE_N", 10_000)
     PageRank(mode="dataframe", max_iter=1, eps=0.0).run(edges, n)
     assert calls.count("shuffle_hash") == 0
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "csr", "broadcast"])
+def test_warm_start_all_modes(spark, mode):
+    """initial_ranks warm start: re-running from converged ranks stops
+    after ONE iteration, and the fixed point is identical (the iteration
+    conserves total mass, so the L1-normalized result can't drift)."""
+    from pagerank_spark.algorithms.pagerank import PageRank
+    from pagerank_spark.sources.graphfile import read_graph_file
+
+    edges, n = read_graph_file(spark, GOLDEN_GRAPH)
+    cold = PageRank(mode=mode).run(edges, n)
+    assert cold.iterations == 7
+
+    warm = PageRank(mode=mode, initial_ranks=cold.ranks).run(edges, n)
+    assert warm.iterations == 1
+    got = {r["id"]: r["rank"] for r in warm.ranks.collect()}
+    want = {r["id"]: r["rank"] for r in cold.ranks.collect()}
+    # the warm run applies one more contraction step before its delta
+    # check, so ranks move by ~c * last_cold_delta spread over n — order
+    # 1e-8 here, far inside the 1e-5 convergence tolerance
+    assert max(abs(got[i] - want[i]) for i in range(n)) < 1e-7
+
+
+def test_warm_start_partial_ranks_same_fixed_point(spark):
+    """Warm start from HALF the vertices (the other half defaults to 1/n,
+    the new-pages case) still converges to the cold-start fixed point."""
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.algorithms.pagerank import PageRank
+    from pagerank_spark.sources.graphfile import read_graph_file
+
+    edges, n = read_graph_file(spark, GOLDEN_GRAPH)
+    cold = PageRank(mode="dataframe").run(edges, n)
+    partial = cold.ranks.filter(F.col("id") % 2 == 0)
+    warm = PageRank(mode="dataframe", initial_ranks=partial).run(edges, n)
+    assert 1 <= warm.iterations <= cold.iterations
+    got = {r["id"]: r["rank"] for r in warm.ranks.collect()}
+    want = {r["id"]: r["rank"] for r in cold.ranks.collect()}
+    assert max(abs(got[i] - want[i]) for i in range(n)) < 1e-6
+
+
+def test_warm_start_rejects_out_of_range_ids(spark):
+    from pagerank_spark.algorithms.pagerank import PageRank
+
+    bad = spark.createDataFrame([(999999, 0.5)], "id long, rank double")
+    pr = PageRank(mode="csr", initial_ranks=bad)
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="outside"):
+        pr.run(edges, 2)
