@@ -381,7 +381,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             for r in rows
         ]
-        path = os.path.join(tempfile.gettempdir(), "prq_warc_ingest.warc.gz")
+        # per-sf, per-process filename: concurrent harness runs (different
+        # scale factors on the shared box) must not race on one file
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"prq_warc_ingest_{os.path.basename(sf.rstrip('/'))}_{os.getpid()}.warc.gz",
+        )
         write_warc(recs, path)
         w = read_warc(spark, path).filter(F.col("rec_type") == "response")
         return w.select(
@@ -1979,7 +1984,7 @@ rules AS (
   UNION ALL SELECT h, TRUE, '/q' || CAST(h % 3 AS VARCHAR) || '/pub$' FROM hosts
 ),
 rl AS (
-  SELECT h, allow, pattern, length(pattern) AS plen,
+  SELECT h, allow, pattern, octet_length(encode(pattern)) AS plen,
     CASE WHEN pattern LIKE '%$' THEN substr(star, 1, length(star) - 1)
          ELSE star || '%' END AS lp
   FROM (SELECT h, allow, pattern,

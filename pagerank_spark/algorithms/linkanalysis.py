@@ -250,9 +250,20 @@ def personalized_pagerank(
     def no_bcast(df: DataFrame) -> DataFrame:
         return df if n <= _util.BROADCAST_SAFE_ROWS else df.hint("shuffle_hash")
 
-    n_seeds = seeds.count()
+    # seed hygiene: duplicates would both miscount |S| and duplicate state
+    # rows through the left join below; out-of-range ids would silently
+    # shrink the teleport sum. Dedup, then hard-error on range.
+    seeds = seeds.select(F.col("id").cast("long").alias("id")).distinct()
+    s_stats = seeds.agg(
+        F.count(F.lit(1)).alias("k"), F.min("id").alias("lo"), F.max("id").alias("hi")
+    ).first()
+    n_seeds = int(s_stats["k"])
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
+    if s_stats["lo"] < 0 or s_stats["hi"] >= n:
+        raise ValueError(
+            f"seed ids outside [0, {n}): saw [{s_stats['lo']}, {s_stats['hi']}]"
+        )
 
     degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ew = (

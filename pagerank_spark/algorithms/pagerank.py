@@ -207,8 +207,32 @@ class PageRank:
             ids = t.column("id").to_numpy()
             if len(ids) and (ids.min() < 0 or ids.max() >= n):
                 raise ValueError("initial_ranks ids outside [0, n)")
+            if len(ids) != len(np.unique(ids)):
+                raise ValueError("initial_ranks contains duplicate ids")
             pi[ids] = t.column("rank").to_numpy()
         return pi
+
+    def _validated_initial_ranks(self, n: int) -> DataFrame:
+        """initial_ranks with the same hard errors the vector modes raise
+        (out-of-range or duplicate ids) — a duplicate would silently emit
+        two state rows through the warm-start left join and double-count
+        that vertex's mass."""
+        ir = self.initial_ranks.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("rank").cast("double").alias("r0"),
+        )
+        st = ir.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count_distinct("id").alias("kd"),
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+        ).first()
+        if st["k"]:
+            if st["lo"] < 0 or st["hi"] >= n:
+                raise ValueError("initial_ranks ids outside [0, n)")
+            if st["k"] != st["kd"]:
+                raise ValueError("initial_ranks contains duplicate ids")
+        return ir
 
     # ------------------------------------------------------------------ API
     def run(
@@ -332,10 +356,7 @@ class PageRank:
         if self.initial_ranks is not None:
             # warm start: previous ranks ride in via one more size-gated
             # O(V) join; ids absent from the table (new pages) start at 1/n
-            ir = self.initial_ranks.select(
-                F.col("id").cast("long").alias("id"),
-                F.col("rank").cast("double").alias("r0"),
-            )
+            ir = self._validated_initial_ranks(n)
             base = base.join(no_bcast(ir), "id", "left")
             rank_col = F.coalesce(F.col("r0"), F.lit(1.0 / n))
         else:

@@ -762,10 +762,15 @@ def paragraph_dedup(
     structs restores original order — collect_list order is not
     deterministic). Three exchanges total; nothing is driver-resident.
     """
+    # split takes a REGEX — escape the separator so sep="|" or "..." splits
+    # on the literal string it reassembles with (re.escape output is valid
+    # Java regex: backslash-escaped punctuation is literal there too)
     paras = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1)
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(re.escape(sep)), -1
+            )
         ).alias("_idx", "_para"),
     ).withColumn("_h", F.md5(F.col("_para")))
     firsts = paras.groupBy("_h").agg(

@@ -145,26 +145,40 @@ def robots_filter(
 
     The matched path is the url's path+query (fragment and host handled by
     functions.urls); rules join on the url's host. Longest matching
-    pattern wins, equal-length tie goes to Allow, no matching rule (or no
-    rules for the host) = allowed — all three fall out of one
-    ``MAX(struct(length, allow))`` aggregation, because boolean ``true``
-    sorts above ``false``.
+    pattern wins (octet length — the RFC measure, so multibyte patterns
+    rank correctly), equal-length tie goes to Allow, no matching rule (or
+    no rules for the host) = allowed — all three fall out of one
+    ``MAX(struct(octet_length, allow))`` aggregation, because boolean
+    ``true`` sorts above ``false``.
+
+    Decisions are computed once per DISTINCT url and joined back, so the
+    input's cardinality and extra columns pass through untouched (a
+    frontier row seen from two referrers stays two rows). The rules frame
+    is materialized first (eager localCheckpoint) so the Arrow-UDF parse
+    runs once, not once for the size gate and again for the join.
     """
     from pagerank_spark.functions.urls import url_host
 
+    rules = rules.localCheckpoint(eager=True)
     u = F.col(url_col)
-    with_host = urls.withColumn("_rb_host", url_host(u)).withColumn(
-        "_rb_path",
-        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1),
-    )
-    with_host = with_host.withColumn(
-        "_rb_path", F.when(F.col("_rb_path") == "", "/").otherwise(F.col("_rb_path"))
+    with_host = (
+        urls.select(u.alias(url_col))
+        .distinct()
+        .withColumn("_rb_host", url_host(u))
+        .withColumn(
+            "_rb_path",
+            F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1),
+        )
+        .withColumn(
+            "_rb_path",
+            F.when(F.col("_rb_path") == "", "/").otherwise(F.col("_rb_path")),
+        )
     )
 
     r = rules.select(
         F.col("host").alias("_rb_host"),
-        "allow",
-        "pattern",
+        F.col("allow").alias("_rb_allow"),
+        F.octet_length("pattern").alias("_rb_len"),
         like_pattern(F.col("pattern")).alias("_rb_like"),
     )
     # gate on distinct hosts (rules/host is bounded by the 500 KiB file
@@ -179,21 +193,24 @@ def robots_filter(
         "_rb_match",
         F.expr("_rb_path LIKE _rb_like ESCAPE '\\\\'"),
     )
-    best = (
-        joined.groupBy(*[F.col(c) for c in urls.columns])
+    decisions = (
+        joined.groupBy(url_col)
         .agg(
             F.max(
                 F.when(
                     F.col("_rb_match"),
                     F.struct(
-                        F.length("pattern").alias("l"), F.col("allow").alias("a")
+                        F.col("_rb_len").alias("l"), F.col("_rb_allow").alias("a")
                     ),
                 )
             ).alias("_rb_best")
         )
-        .withColumn("allowed", F.coalesce(F.col("_rb_best.a"), F.lit(True)))
+        .select(
+            url_col,
+            F.coalesce(F.col("_rb_best.a"), F.lit(True)).alias("allowed"),
+        )
     )
-    return best.drop("_rb_best")
+    return urls.join(decisions, url_col)
 
 
 def robots_sitemaps(

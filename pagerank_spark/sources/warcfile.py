@@ -52,11 +52,15 @@ def write_warc(
 
     ``per_record_gzip=None`` infers from the path suffix (``.gz`` → the
     Common Crawl member-per-record convention; mtime zeroed so output is
-    byte-deterministic)."""
+    byte-deterministic). Timestamps are converted to UTC (naive values
+    are taken AS UTC) and truncated to whole seconds — the WARC/1.0
+    ``WARC-Date`` granularity."""
     if per_record_gzip is None:
         per_record_gzip = path.endswith(".gz")
     out = io.BytesIO()
     for url, ts, rec_type, content_type, payload in records:
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(timezone.utc)
         head = (
             b"WARC/1.0\r\n"
             + f"WARC-Type: {rec_type}\r\n".encode()
@@ -95,7 +99,12 @@ def parse_warc_bytes(
     """Yield (url, ts, rec_type, content_type, payload) from raw WARC bytes.
 
     Records are delimited by the declared Content-Length — a payload that
-    happens to contain the literal bytes ``WARC/1.0`` parses correctly."""
+    happens to contain the literal bytes ``WARC/1.0`` parses correctly.
+    Fault tolerance matches what a production CC reader does: a truncated
+    or malformed record TAIL (header block cut off, Content-Length
+    missing/garbled) ends parsing of that container — the records before
+    it are kept, the job does not fail. Fractional-second WARC-Dates
+    (WARC/1.1) parse with the fraction dropped."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -104,18 +113,27 @@ def parse_warc_bytes(
             pos += 2
         if pos >= n:
             break
-        head_end = data.index(b"\r\n\r\n", pos)
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end == -1:  # truncated header block: keep what we have
+            break
         headers: dict[str, str] = {}
         for line in data[pos:head_end].split(_CRLF)[1:]:  # [0] is WARC/1.0
             k, _, v = line.decode("utf-8", "replace").partition(":")
             headers[k.strip().lower()] = v.strip()
-        length = int(headers["content-length"])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):  # undelimitable: stop this container
+            break
         body_start = head_end + 4
         payload = data[body_start : body_start + length]
-        ts = datetime.strptime(
-            headers.get("warc-date", "1970-01-01T00:00:00Z"),
-            "%Y-%m-%dT%H:%M:%SZ",
-        ).replace(tzinfo=timezone.utc)
+        raw_ts = headers.get("warc-date", "1970-01-01T00:00:00Z")
+        try:
+            ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError:
+            ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%S.%fZ").replace(
+                microsecond=0
+            )
+        ts = ts.replace(tzinfo=timezone.utc)
         yield (
             headers.get("warc-target-uri", ""),
             ts,
@@ -174,14 +192,20 @@ def parse_http_response(df: DataFrame, payload_col: str = "payload") -> DataFram
     s = F.decode(F.col(payload_col), "ISO-8859-1")
     sep = F.locate("\r\n\r\n", s)
     status = F.regexp_extract(s, r"^HTTP/1\.[01] ([0-9]{3})", 1)
+    is_http = status != ""
     head = F.when(sep > 0, F.substring(s, F.lit(1), sep - 1)).otherwise(s)
     ctype = F.regexp_extract(head, r"(?i)\r\ncontent-type: *([^\r\n]*)", 1)
-    body = F.when(sep > 0, F.substring(s, sep + 4, F.length(s))).otherwise(s)
+    # the header/body split only applies to actual responses — anything
+    # else (request records, raw binary that happens to contain a blank
+    # line) passes through whole; a response with no blank line is a
+    # headers-only malformation and gets an empty body
+    body = (
+        F.when(~is_http, s)
+        .when(sep > 0, F.substring(s, sep + 4, F.length(s)))
+        .otherwise(F.lit(""))
+    )
     return (
-        df.withColumn(
-            "http_status",
-            F.when(status != "", status.cast("int")),
-        )
-        .withColumn("http_content_type", F.when(ctype != "", ctype))
+        df.withColumn("http_status", F.when(is_http, status.cast("int")))
+        .withColumn("http_content_type", F.when(is_http & (ctype != ""), ctype))
         .withColumn("body", F.encode(body, "ISO-8859-1"))
     )

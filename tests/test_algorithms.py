@@ -607,3 +607,23 @@ def test_co_citation_fanout_cap_drops_hub_sources(spark):
               for r in co_citation(e, min_count=1, max_src_fanout=5).collect()}
     # hub source 0 excluded: only source 1's single pair remains, count 1
     assert capped == {(11, 12): 1}
+
+
+def test_ppr_seed_hygiene(spark):
+    """Duplicate seeds are deduped (same result as the distinct set);
+    out-of-range seeds are a hard error, not a silently-shrunk teleport."""
+    from pagerank_spark.algorithms.linkanalysis import personalized_pagerank
+
+    arr, n = micro_graphs()["cycle_8"]
+    edges = edges_from_numpy(spark, arr)
+    dup = spark.createDataFrame([(0,), (1,), (1,)], "id long")
+    dis = spark.createDataFrame([(0,), (1,)], "id long")
+    got_dup = {r["id"]: r["rank"] for r in
+               personalized_pagerank(edges, n, dup, max_iter=3).collect()}
+    got_dis = {r["id"]: r["rank"] for r in
+               personalized_pagerank(edges, n, dis, max_iter=3).collect()}
+    assert all(abs(got_dup[i] - got_dis[i]) < 1e-15 for i in range(n))
+
+    bad = spark.createDataFrame([(0,), (99,)], "id long")
+    with pytest.raises(ValueError, match="outside"):
+        personalized_pagerank(edges, n, bad, max_iter=1)

@@ -283,3 +283,20 @@ def test_warm_start_rejects_out_of_range_ids(spark):
     edges = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="outside"):
         pr.run(edges, 2)
+
+
+def test_warm_start_dataframe_validates_ids(spark):
+    """dataframe mode raises the same hard errors as the vector modes:
+    out-of-range and duplicate initial_ranks ids (a duplicate would emit
+    two state rows and double-count that vertex's mass)."""
+    from pagerank_spark.algorithms.pagerank import PageRank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    bad = spark.createDataFrame([(999999, 0.5)], "id long, rank double")
+    with pytest.raises(ValueError, match="outside"):
+        PageRank(mode="dataframe", initial_ranks=bad).run(edges, 2)
+    dup = spark.createDataFrame([(1, 0.5), (1, 0.5)], "id long, rank double")
+    with pytest.raises(ValueError, match="duplicate"):
+        PageRank(mode="dataframe", initial_ranks=dup).run(edges, 2)
+    with pytest.raises(ValueError, match="duplicate"):
+        PageRank(mode="csr", initial_ranks=dup).run(edges, 2)

@@ -587,3 +587,19 @@ def test_paragraph_dedup_planted(spark):
     assert got[4] == (1, 1, "delta")
     assert got[5] == (1, 1, "")  # the empty paragraph's first occurrence
     assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_paragraph_dedup_literal_separator(spark):
+    """sep is treated as a LITERAL string even when it contains regex
+    metacharacters (split takes a regex; the operator escapes it)."""
+    from pagerank_spark.pipeline.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "aa|bb|aa"), (2, "bb|cc")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text"])
+        for r in paragraph_dedup(docs, sep="|").collect()
+    }
+    assert got[1] == (3, 2, "aa|bb")
+    assert got[2] == (2, 1, "cc")

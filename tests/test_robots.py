@@ -127,3 +127,35 @@ def test_robots_sitemaps_and_sitemap_locs(spark):
     )
     locs = {(r["id"], r["loc"]) for r in sitemap_locs(df).collect()}
     assert locs == {(1, "https://a.example/p1"), (1, "https://a.example/p2")}
+
+
+def test_robots_filter_preserves_cardinality_and_columns(spark):
+    from pagerank_spark.pipeline.robots import robots_filter
+
+    rules = spark.createDataFrame(
+        [("h.example", False, "/x")], "host string, allow boolean, pattern string"
+    )
+    # same url twice (two referrers) + an extra column that must pass through
+    urls = spark.createDataFrame(
+        [("https://h.example/x", "ref1"), ("https://h.example/x", "ref2"),
+         ("https://h.example/ok", "ref3")],
+        "url string, referrer string",
+    )
+    got = robots_filter(urls, rules).collect()
+    assert len(got) == 3
+    by_ref = {r["referrer"]: r["allowed"] for r in got}
+    assert by_ref == {"ref1": False, "ref2": False, "ref3": True}
+
+
+def test_robots_specificity_is_octets_not_chars(spark):
+    """RFC 9309 measures pattern specificity in OCTETS: Disallow '/xé'
+    (3 chars, 4 octets) beats Allow '/x*' (3 chars, 3 octets) on the path
+    '/xé' — a character-length measure would tie and wrongly allow."""
+    from pagerank_spark.pipeline.robots import robots_filter
+
+    rules = spark.createDataFrame(
+        [("h.example", True, "/x*"), ("h.example", False, "/xé")],
+        "host string, allow boolean, pattern string",
+    )
+    urls = spark.createDataFrame([("https://h.example/xé",)], "url string")
+    assert robots_filter(urls, rules).first()["allowed"] is False

@@ -104,3 +104,40 @@ def test_parse_http_response_stays_jvm_side(spark):
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_node not in plan
     assert "Exchange" not in plan
+
+
+def test_write_warc_converts_tz_and_truncates_subseconds(tmp_path):
+    from datetime import timedelta
+
+    ts = datetime(2026, 1, 1, 12, 0, 0, 250000, tzinfo=timezone(timedelta(hours=2)))
+    p = str(tmp_path / "tz.warc")
+    write_warc([("https://a/1", ts, "response", "text/plain", b"x")], p)
+    (got,) = parse_warc_bytes(open(p, "rb").read())
+    assert got[1] == datetime(2026, 1, 1, 10, 0, 0, tzinfo=timezone.utc)
+
+
+def test_parse_warc_tolerates_truncated_tail_and_fractional_dates():
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://a/1\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00.123456Z\r\nContent-Type: t\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    truncated = b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-UR"
+    got = list(parse_warc_bytes(good + truncated))
+    assert len(got) == 1  # the good record survives, the cut tail is dropped
+    assert got[0][1] == datetime(2026, 1, 1, tzinfo=timezone.utc)
+    assert got[0][4] == b"hi"
+    # missing Content-Length also ends the container without raising
+    no_len = b"WARC/1.0\r\nWARC-Type: response\r\n\r\npayload"
+    assert list(parse_warc_bytes(good + no_len)) == got
+
+
+def test_parse_http_response_non_response_passes_whole_payload(spark):
+    from pagerank_spark.sources.warcfile import parse_http_response
+
+    req = b"GET / HTTP/1.1\r\nHost: x\r\n\r\nrest"
+    df = spark.createDataFrame([(1, req)], "id long, payload binary")
+    row = parse_http_response(df).first()
+    assert row["http_status"] is None
+    assert row["http_content_type"] is None
+    assert bytes(row["body"]) == req  # NOT split at the blank line
