@@ -293,6 +293,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return co_citation(_edges(spark, sf), min_count=2, max_src_fanout=None)
 
+    def adamic_adar_q(spark, sf):
+        """Inverse-log-degree weighted co-citation (Adamic-Adar link
+        prediction); score scaled to integer e6 for hash robustness."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import adamic_adar
+
+        p = adamic_adar(_edges(spark, sf), min_common=2, max_src_fanout=None)
+        return p.select(
+            "a",
+            "b",
+            "n_common_src",
+            F.round(F.col("score") * 1e6).cast("long").alias("score_e6"),
+        )
+
     def kcore_coreness(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.algorithms.structure import coreness
@@ -1009,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_nf": hyperball_nf,
         "random_walks": random_walks_q,
         "co_citation": co_citation_q,
+        "adamic_adar": adamic_adar_q,
         "kcore_coreness": kcore_coreness,
         "scc_components": scc_components,
         "graph_stats": graph_stats,
@@ -1755,6 +1770,14 @@ SELECT x.dst AS a, y.dst AS b, COUNT(*) AS n_common_src
 FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
 GROUP BY a, b HAVING COUNT(*) >= 2
 """
+    AAD = f"""
+WITH e AS MATERIALIZED (SELECT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst),
+d AS (SELECT src, COUNT(*) AS f FROM e GROUP BY src HAVING COUNT(*) >= 2)
+SELECT x.dst AS a, y.dst AS b, COUNT(*) AS n_common_src,
+       CAST(ROUND(SUM(1.0 / LN(d.f)) * 1e6) AS BIGINT) AS score_e6
+FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst JOIN d ON d.src = x.src
+GROUP BY x.dst, y.dst HAVING COUNT(*) >= 2
+"""
     # ---- random walks: 3 unrolled argmin steps, same md5 hash key as
     # walks._choice_hash ("{seed}_{start}_{walk}_{step}_{nb}")
     def _wh(step):
@@ -1946,6 +1969,7 @@ FROM c, rc, ag
         "hyperball_nf": HYPERBALL,
         "random_walks": WALKS,
         "co_citation": COCIT,
+        "adamic_adar": AAD,
         "kcore_coreness": KCORE,
         "scc_components": SCC,
         "graph_stats": GSTATS,

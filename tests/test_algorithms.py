@@ -609,6 +609,61 @@ def test_co_citation_fanout_cap_drops_hub_sources(spark):
     assert capped == {(11, 12): 1}
 
 
+def test_adamic_adar_exact(spark):
+    """Both weight variants match a python twin on the 5k-edge mirror graph,
+    and the hub-discount actually discounts: a pair co-cited only by a huge
+    directory page scores below a pair co-cited by a 2-out-link page."""
+    import math
+    from collections import defaultdict
+    from itertools import combinations
+
+    from pagerank_spark.algorithms.linkanalysis import adamic_adar
+
+    arr, _ = micro_graphs()["test1_mirror"]
+    e = edges_from_numpy(spark, arr)
+    outs = defaultdict(set)
+    for u, v in arr:
+        if u != v:
+            outs[int(u)].add(int(v))
+
+    for variant, wfn in (
+        ("adamic_adar", lambda f: 1.0 / math.log(f)),
+        ("resource_allocation", lambda f: 1.0 / f),
+    ):
+        exp_n = defaultdict(int)
+        exp_s = defaultdict(float)
+        for _, ds in outs.items():
+            for x, y in combinations(sorted(ds), 2):
+                exp_n[(x, y)] += 1
+                exp_s[(x, y)] += wfn(len(ds))
+        exp_n = {k: v for k, v in exp_n.items() if v >= 2}
+        got = {
+            (r["a"], r["b"]): (r["n_common_src"], r["score"])
+            for r in adamic_adar(
+                e, min_common=2, max_src_fanout=None, variant=variant
+            ).collect()
+        }
+        assert {k: v[0] for k, v in got.items()} == exp_n
+        for k, (_, s) in got.items():
+            assert abs(s - exp_s[k]) < 1e-9 * max(1.0, abs(exp_s[k]))
+
+    # hub discount: src 0 is a 100-target directory, src 1 links to just 2
+    rows = [(0, d) for d in range(10, 110)] + [(1, 10), (1, 11)]
+    e2 = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): r["score"]
+        for r in adamic_adar(e2, min_common=1, max_src_fanout=None).collect()
+    }
+    assert abs(got[(10, 11)] - (1 / math.log(100) + 1 / math.log(2))) < 1e-12
+    assert abs(got[(12, 13)] - 1 / math.log(100)) < 1e-12
+    assert got[(10, 11)] > got[(12, 13)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        adamic_adar(e2, variant="jaccard")
+
+
 def test_ppr_seed_hygiene(spark):
     """Duplicate seeds are deduped (same result as the distinct set);
     out-of-range seeds are a hard error, not a silently-shrunk teleport."""
