@@ -322,6 +322,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return strongly_connected_components(_edges(spark, sf), _verts(spark))
 
+    def bowtie_components(spark, sf):
+        """Broder bow-tie decomposition (CORE/IN/OUT/TUBES/TENDRILS/
+        DISCONNECTED) over the 200-vertex driver graph."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.structure import bowtie
+
+        return bowtie(_edges(spark, sf), _verts(spark))
+
     def graph_stats(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.algorithms.structure import graph_summary
@@ -1026,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": adamic_adar_q,
         "kcore_coreness": kcore_coreness,
         "scc_components": scc_components,
+        "bowtie_components": bowtie_components,
         "graph_stats": graph_stats,
         "host_pagerank": host_pagerank,
         "dedup_exact": dedup_exact,
@@ -1862,6 +1871,45 @@ mn AS (SELECT a AS id, MIN(b) AS mb FROM mutual GROUP BY a)
 SELECT v.id, LEAST(v.id, COALESCE(mn.mb, v.id)) AS scc
 FROM ({V}) v LEFT JOIN mn ON mn.id = v.id
 """
+    # ---- bow-tie decomposition: transitive closure once, then the Broder
+    # classification as pure set algebra over it (CORE = largest SCC, tie
+    # min label; TUBES/TENDRILS probes only matter outside CORE/IN/OUT so
+    # the "via >= 1 edge" nuance of the Spark probes is immaterial here)
+    BOWTIE = f"""
+WITH RECURSIVE e AS MATERIALIZED (SELECT src, dst FROM ({E}) WHERE src <> dst),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a, r1.b FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+mn AS (SELECT a AS id, MIN(b) AS mb FROM mutual GROUP BY a),
+scc AS (SELECT v.id, LEAST(v.id, COALESCE(mn.mb, v.id)) AS scc
+        FROM ({V}) v LEFT JOIN mn ON mn.id = v.id),
+core_lbl AS (SELECT scc AS lbl FROM (
+  SELECT scc, COUNT(*) AS c FROM scc GROUP BY scc ORDER BY c DESC, scc ASC LIMIT 1)),
+core AS (SELECT id FROM scc WHERE scc = (SELECT lbl FROM core_lbl)),
+fwd_core AS (SELECT id FROM (
+  SELECT id FROM core UNION SELECT r.b FROM reach r JOIN core ON r.a = core.id)),
+bwd_core AS (SELECT id FROM (
+  SELECT id FROM core UNION SELECT r.a FROM reach r JOIN core ON r.b = core.id)),
+outs AS (SELECT id FROM fwd_core WHERE id NOT IN (SELECT id FROM core)),
+ins AS (SELECT id FROM bwd_core WHERE id NOT IN (SELECT id FROM core)),
+from_in AS (SELECT DISTINCT r.b AS id FROM reach r JOIN ins ON r.a = ins.id),
+to_out AS (SELECT DISTINCT r.a AS id FROM reach r JOIN outs ON r.b = outs.id)
+SELECT v.id,
+  CASE WHEN v.id IN (SELECT id FROM core) THEN 'CORE'
+       WHEN v.id IN (SELECT id FROM ins) THEN 'IN'
+       WHEN v.id IN (SELECT id FROM outs) THEN 'OUT'
+       WHEN v.id IN (SELECT id FROM from_in)
+            AND v.id IN (SELECT id FROM to_out) THEN 'TUBES'
+       WHEN v.id IN (SELECT id FROM from_in)
+            OR v.id IN (SELECT id FROM to_out) THEN 'TENDRILS'
+       ELSE 'DISCONNECTED' END AS component
+FROM ({V}) v
+"""
     # ---- whole-graph summary: reciprocity + out-in degree assortativity
     # (population-moment Pearson, same formula the Spark side uses)
     GSTATS = f"""
@@ -1972,6 +2020,7 @@ FROM c, rc, ag
         "adamic_adar": AAD,
         "kcore_coreness": KCORE,
         "scc_components": SCC,
+        "bowtie_components": BOWTIE,
         "graph_stats": GSTATS,
         "host_pagerank": HOSTPR,
         "dedup_exact": (

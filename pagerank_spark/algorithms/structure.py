@@ -457,3 +457,165 @@ def contract_graph(
     if drop_internal:
         out = out.filter(F.col("src") != F.col("dst"))
     return out.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+
+
+def _reachable(
+    e: DataFrame,
+    seeds: DataFrame,
+    no_bcast,
+    shuffle_p: int,
+    include_seeds: bool = True,
+) -> DataFrame:
+    """Set of vertex ids reachable from ``seeds`` along directed edges —
+    frontier BFS as a DataFrame fixpoint: each round expands the frontier
+    through one hash(src) join, anti-joins the visited set, and checkpoints
+    (O(diameter) rounds, two shuffles per round, nothing driver-resident).
+    ``include_seeds=False`` returns only vertices reachable via >= 1 edge,
+    which may still contain seeds that sit on a cycle from another seed.
+    """
+    spark = e.sparkSession
+    with _util.static_plan(spark):
+        visited = (
+            seeds.select(F.col("id").cast("long"))
+            .distinct()
+            .repartition(shuffle_p, "id")
+            .localCheckpoint(eager=True)
+        )
+    frontier = visited
+    reached_only = None
+    while True:
+        nxt = (
+            e.join(no_bcast(frontier.select(F.col("id").alias("src"))), "src", "left_semi")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        if not include_seeds:
+            reached_only = (
+                nxt
+                if reached_only is None
+                else reached_only.union(nxt).distinct()
+            )
+            with _util.static_plan(spark):
+                reached_only = reached_only.repartition(
+                    shuffle_p, "id"
+                ).localCheckpoint(eager=True)
+        frontier = nxt.join(no_bcast(visited), "id", "left_anti")
+        if frontier.isEmpty():
+            break
+        with _util.static_plan(spark):
+            frontier = frontier.repartition(shuffle_p, "id").localCheckpoint(
+                eager=True
+            )
+            visited = visited.union(frontier).localCheckpoint(eager=True)
+    if include_seeds:
+        return visited
+    return reached_only if reached_only is not None else visited.limit(0)
+
+
+def bowtie(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al., "Graph
+    structure in the Web", WWW 2000): classify every vertex into
+
+    - ``CORE``: the largest strongly connected component (ties broken by
+      min member id, so the output is deterministic on any graph);
+    - ``IN``: reaches CORE but is not in it;
+    - ``OUT``: reachable from CORE but not in it;
+    - ``TUBES``: on an IN→OUT path that bypasses CORE (reachable from IN
+      and reaching OUT, not in CORE/IN/OUT);
+    - ``TENDRILS``: hangs off IN (reachable from IN) or into OUT (reaches
+      OUT) but not both;
+    - ``DISCONNECTED``: everything else.
+
+    Returns (id, component: string) for every vertex (default universe:
+    edge endpoints). Built entirely from the engine's existing fixpoint
+    discipline: one SCC run + four frontier-BFS reachability fixpoints
+    (forward/backward from CORE, forward from IN, backward from OUT), all
+    O(diameter) rounds with size-gated joins and nothing O(V) on the
+    driver — the same shape Broder ran over a 200M-page crawl, so the plan
+    holds at web scale where CORE is ~1/3 of all pages.
+    """
+    spark = edges.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_verts = _util.approx_vertex_count(edges)
+    no_bcast = _no_bcast_fn(n_verts)
+
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(shuffle_p, "src")
+        .persist()
+    )
+    e.count()
+    et = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if vertices is None:
+        vertices = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    verts = vertices.select(F.col("id").cast("long")).localCheckpoint(eager=True)
+
+    scc = strongly_connected_components(e, verts)
+    # largest SCC = CORE; the winning label is one driver-side row (bounded)
+    top = (
+        scc.groupBy("scc")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("scc"))
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        e.unpersist()
+        return verts.select("id", F.lit("DISCONNECTED").alias("component"))
+    core_lbl = top[0]["scc"]
+    core = (
+        scc.filter(F.col("scc") == core_lbl)
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+
+    fwd_core = _reachable(e, core, no_bcast, shuffle_p)
+    bwd_core = _reachable(et, core, no_bcast, shuffle_p)
+    out_s = fwd_core.join(no_bcast(core), "id", "left_anti").localCheckpoint(eager=True)
+    in_s = bwd_core.join(no_bcast(core), "id", "left_anti").localCheckpoint(eager=True)
+    # TUBES/TENDRILS probes: strictly "via >= 1 edge" so an IN vertex is not
+    # its own witness; membership tests below only consult these for
+    # vertices outside CORE/IN/OUT, where any overlap is harmless
+    fwd_in = _reachable(e, in_s, no_bcast, shuffle_p, include_seeds=False)
+    bwd_out = _reachable(et, out_s, no_bcast, shuffle_p, include_seeds=False)
+
+    def flag(df: DataFrame, name: str) -> DataFrame:
+        return df.select("id", F.lit(True).alias(name))
+
+    labeled = (
+        verts.join(no_bcast(flag(core, "is_core")), "id", "left")
+        .join(no_bcast(flag(in_s, "is_in")), "id", "left")
+        .join(no_bcast(flag(out_s, "is_out")), "id", "left")
+        .join(no_bcast(flag(fwd_in, "from_in")), "id", "left")
+        .join(no_bcast(flag(bwd_out, "to_out")), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("is_core"), "CORE")
+            .when(F.col("is_in"), "IN")
+            .when(F.col("is_out"), "OUT")
+            .when(
+                F.coalesce("from_in", F.lit(False))
+                & F.coalesce("to_out", F.lit(False)),
+                "TUBES",
+            )
+            .when(
+                F.coalesce("from_in", F.lit(False))
+                | F.coalesce("to_out", F.lit(False)),
+                "TENDRILS",
+            )
+            .otherwise("DISCONNECTED")
+            .alias("component"),
+        )
+    )
+    labeled = labeled.localCheckpoint(eager=True)
+    e.unpersist()
+    return labeled

@@ -369,6 +369,99 @@ def test_scc_two_cycles_bridge(spark):
     assert got == scc_numpy(arr, 6) == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
 
 
+def _bowtie_twin(arr: np.ndarray, n: int) -> dict[int, str]:
+    """Exact python bow-tie classifier via per-vertex BFS closure."""
+    adj = {v: set() for v in range(n)}
+    for u, v in arr:
+        if u != v:
+            adj[int(u)].add(int(v))
+    reach = {}
+    for v in range(n):
+        seen = {v}
+        stack = [v]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        reach[v] = seen
+    scc = {v: min(u for u in reach[v] if v in reach[u]) for v in range(n)}
+    from collections import Counter
+
+    sizes = Counter(scc.values())
+    core_lbl = min(sorted(sizes), key=lambda lbl: (-sizes[lbl], lbl))
+    core = {v for v, s in scc.items() if s == core_lbl}
+    fwd_core = set().union(*(reach[c] for c in core))
+    bwd_core = {v for v in range(n) if reach[v] & core}
+    out_s = fwd_core - core
+    in_s = bwd_core - core
+    from_in = set().union(*(reach[i] for i in in_s)) if in_s else set()
+    to_out = {v for v in range(n) if reach[v] & out_s}
+    res = {}
+    for v in range(n):
+        if v in core:
+            res[v] = "CORE"
+        elif v in in_s:
+            res[v] = "IN"
+        elif v in out_s:
+            res[v] = "OUT"
+        elif v in from_in and v in to_out:
+            res[v] = "TUBES"
+        elif v in from_in or v in to_out:
+            res[v] = "TENDRILS"
+        else:
+            res[v] = "DISCONNECTED"
+    return res
+
+
+def test_bowtie_hand_graph(spark):
+    """A 12-vertex graph exercising all six Broder classes at once."""
+    from pagerank_spark.algorithms.structure import bowtie
+
+    arr = np.array(
+        [
+            (0, 1), (1, 2), (2, 0),          # CORE cycle
+            (3, 0), (10, 3),                 # IN chain
+            (2, 4), (4, 5),                  # OUT chain
+            (3, 6), (6, 4),                  # TUBE bypassing core
+            (3, 7),                          # tendril off IN
+            (8, 4),                          # tendril into OUT
+            (9, 11),                         # disconnected pair
+        ],
+        dtype=np.int64,
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in bowtie(edges_from_numpy(spark, arr), vertices_df(spark, 12)).collect()
+    }
+    assert got == _bowtie_twin(arr, 12)
+    assert got == {
+        0: "CORE", 1: "CORE", 2: "CORE",
+        3: "IN", 10: "IN",
+        4: "OUT", 5: "OUT",
+        6: "TUBES",
+        7: "TENDRILS", 8: "TENDRILS",
+        9: "DISCONNECTED", 11: "DISCONNECTED",
+    }
+
+
+def test_bowtie_random_graph(spark):
+    """Python-twin parity on a 300-vertex random digraph (mean degree 3,
+    well past the giant-SCC threshold, so every class is populated)."""
+    from pagerank_spark.algorithms.structure import bowtie
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 300, size=(900, 2), dtype=np.int64)
+    exp = _bowtie_twin(arr, 300)
+    got = {
+        r["id"]: r["component"]
+        for r in bowtie(edges_from_numpy(spark, arr), vertices_df(spark, 300)).collect()
+    }
+    assert got == exp
+    assert {"CORE", "IN", "OUT"} <= set(exp.values())
+
+
 @pytest.mark.parametrize("name", ["chain_8", "complete_6", "two_islands", "test1_mirror"])
 def test_graph_summary_exact(spark, name):
     from pagerank_spark.algorithms.structure import graph_summary
