@@ -214,6 +214,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
         )
 
+    def ppr_batch(spark, sf):
+        """Three topic-sensitive PageRank vectors in one batched loop."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import personalized_pagerank_batch
+
+        rows = (
+            [("t10", i) for i in range(10)]
+            + [("tmid", 50), ("tmid", 60), ("tmid", 70)]
+            + [("tone", 123)]
+        )
+        seeds = spark.createDataFrame(rows, "topic string, id long")
+        ranks = personalized_pagerank_batch(
+            _edges(spark, sf), N_VERTS, seeds, max_iter=3, eps=0.0
+        )
+        return ranks.select(
+            "topic", "id", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
+        )
+
     def spam_mass_q(spark, sf):
         """Relative spam mass with trusted core = ids 0..9, 3 fixed
         iterations for both the uniform and the core-personalized rank
@@ -1024,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_3iter": hits_3iter,
         "salsa_3iter": salsa_3iter,
         "pagerank_personalized": pagerank_personalized,
+        "ppr_batch": ppr_batch,
         "spam_mass": spam_mass_q,
         "clustering_coefficient": clustering_coefficient,
         "bfs_from_seeds": bfs_from_seeds,
@@ -1624,6 +1643,50 @@ WHERE len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i])) / 128.0 >= 0.4
         + "\nSELECT id, CAST(ROUND(r / (SELECT SUM(ABS(r)) FROM p3) * 1e6) AS BIGINT) "
         "AS rank_e6 FROM p3"
     )
+    # ---- batched topic-sensitive PageRank: three independent unrolled
+    # chains (per-topic semantics = PPR3's exactly), stacked with a topic
+    # label; teleport literals are python float reprs so doubles agree
+    def _ppr_chain(tag: str, tele_case: str) -> list[str]:
+        parts = [
+            f"vt{tag} AS MATERIALIZED (SELECT id, {tele_case} AS t FROM v)",
+            f"s{tag}0 AS (SELECT id, t, t AS r FROM vt{tag})",
+        ]
+        for k in range(1, 4):
+            p = f"s{tag}{k-1}"
+            parts += [
+                f"dm{tag}{k-1} AS (SELECT COALESCE(SUM(p.r), 0) AS dm FROM {p} p "
+                f"LEFT JOIN deg ON deg.id = p.id WHERE deg.id IS NULL)",
+                f"tm{tag}{k-1} AS (SELECT SUM(r) AS tm FROM {p})",
+                f"cb{tag}{k} AS (SELECT e.dst AS id, SUM(p.r / deg.outdeg) AS contrib "
+                f"FROM e JOIN {p} p ON p.id = e.src JOIN deg ON deg.id = e.src "
+                f"GROUP BY e.dst)",
+                f"s{tag}{k} AS MATERIALIZED (SELECT vt{tag}.id, vt{tag}.t, "
+                f"0.85 * (COALESCE(cb{tag}{k}.contrib, 0) "
+                f"+ (SELECT dm FROM dm{tag}{k-1}) * vt{tag}.t) "
+                f"+ 0.15 * (SELECT tm FROM tm{tag}{k-1}) * vt{tag}.t AS r "
+                f"FROM vt{tag} LEFT JOIN cb{tag}{k} ON cb{tag}{k}.id = vt{tag}.id)",
+            ]
+        return parts
+
+    third = repr(1.0 / 3)
+    chains = (
+        _ppr_chain("ta", "CASE WHEN id < 10 THEN 0.1 ELSE 0.0 END")
+        + _ppr_chain(
+            "tb", f"CASE WHEN id IN (50, 60, 70) THEN {third} ELSE 0.0 END"
+        )
+        + _ppr_chain("tc", "CASE WHEN id = 123 THEN 1.0 ELSE 0.0 END")
+    )
+    PPRB = (
+        f"WITH e AS MATERIALIZED ({E}), v AS MATERIALIZED ({V}),\n"
+        f"deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src),\n"
+        + ",\n".join(chains)
+        + "\nSELECT 't10' AS topic, id, CAST(ROUND(r / (SELECT SUM(ABS(r)) FROM sta3)"
+        " * 1e6) AS BIGINT) AS rank_e6 FROM sta3"
+        "\nUNION ALL SELECT 'tmid', id, CAST(ROUND(r / (SELECT SUM(ABS(r)) FROM stb3)"
+        " * 1e6) AS BIGINT) FROM stb3"
+        "\nUNION ALL SELECT 'tone', id, CAST(ROUND(r / (SELECT SUM(ABS(r)) FROM stc3)"
+        " * 1e6) AS BIGINT) FROM stc3"
+    )
     # ---- spam mass: 3 unrolled uniform iterations + 3 unrolled
     # core-personalized iterations (seeds 0..9), then
     # rel_mass = (pr - (|S|/n)*tr) / pr over the L1-normalized ranks —
@@ -2012,6 +2075,7 @@ FROM c, rc, ag
             "JOIN v a ON a.id = e.src JOIN v b ON b.id = e.dst"
         ),
         "pagerank_personalized": PPR3,
+        "ppr_batch": PPRB,
         "spam_mass": SPAMM,
         "clustering_coefficient": CLUSTER,
         "hyperball_nf": HYPERBALL,

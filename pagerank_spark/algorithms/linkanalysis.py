@@ -787,3 +787,185 @@ def adamic_adar(
     pairs = pairs.localCheckpoint(eager=True)
     by_src.unpersist()
     return pairs
+
+
+def _ppr_batch_iteration(ew, state, K: int, c: float, dmass, total, no_bcast):
+    """One batched power-iteration step: K topic vectors through one edge
+    join and ONE shuffle — the contribution groupBy computes K sums at once
+    (map-side partials for all K). Same exchange contract as
+    _ppr_iteration; audited by
+    tests/test_plans.py::test_ppr_batch_iteration_single_exchange."""
+    joined = ew.join(
+        no_bcast(state.select("id", *[f"r{k}" for k in range(K)])),
+        ew.src == F.col("id"),
+    )
+    contribs = joined.groupBy("dst").agg(
+        *[F.sum(F.col(f"r{k}") * F.col("w")).alias(f"c{k}") for k in range(K)]
+    )
+    return state.join(no_bcast(contribs), state.id == contribs.dst, "left").select(
+        state.id,
+        "non_dangling",
+        *[F.col(f"t{k}") for k in range(K)],
+        *[
+            (
+                F.lit(c)
+                * (
+                    F.coalesce(F.col(f"c{k}"), F.lit(0.0))
+                    + F.lit(dmass[k]) * F.col(f"t{k}")
+                )
+                + F.lit((1.0 - c) * total[k]) * F.col(f"t{k}")
+            ).alias(f"r{k}")
+            for k in range(K)
+        ],
+        *[state[f"r{k}"].alias(f"o{k}") for k in range(K)],
+    )
+
+
+def personalized_pagerank_batch(
+    edges: DataFrame,
+    n: int,
+    seeds: DataFrame,
+    c: float = 0.85,
+    max_iter: int = 20,
+    eps: float = 0.0,
+    max_topics: int = 128,
+) -> DataFrame:
+    """K topic-sensitive PageRank vectors in ONE power-iteration loop
+    (Haveliwala 2002 ran one loop per topic; at web scale the edge scan
+    dominates, so batching K topics into one plan is the difference
+    between K full passes over a 100 TB edge table and one).
+
+    ``seeds``: (topic, id) — K distinct topic labels, each with a non-empty
+    seed set; per-topic semantics are EXACTLY ``personalized_pagerank``'s
+    (teleport 1/|S_k| on topic k's seeds, dangling mass re-teleports to the
+    seeds, r0 = v). Returns (topic: string, id, rank) with each topic's
+    vector L1-normalized.
+
+    Physical plan: the state row carries K (rank, tele) column pairs; each
+    iteration is STILL one edge-join + one shuffle — the contribution
+    aggregation computes K sums in a single groupBy (map-side partials for
+    all K at once), and the per-topic dangling-mass/total/delta scalars come
+    from one whole-state aggregate action (3K aggregates, K driver-side
+    doubles — bounded by ``max_topics``). Shuffle bytes grow K-fold per row,
+    but rows, joins, stages, and edge-scan passes do not. With ``eps`` set,
+    the loop stops when EVERY topic's L1 delta is below it.
+    """
+    spark = edges.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def no_bcast(df: DataFrame) -> DataFrame:
+        return df if n <= _util.BROADCAST_SAFE_ROWS else df.hint("shuffle_hash")
+
+    seeds = seeds.select(
+        F.col("topic").cast("string").alias("topic"),
+        F.col("id").cast("long").alias("id"),
+    ).distinct()
+    per_topic = (
+        seeds.groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("k"), F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .orderBy("topic")
+        .limit(max_topics + 1)
+        .collect()
+    )
+    if not per_topic:
+        raise ValueError("personalized_pagerank_batch needs a non-empty seed set")
+    if len(per_topic) > max_topics:
+        raise ValueError(f"more than max_topics={max_topics} topics")
+    topics = [r["topic"] for r in per_topic]
+    sizes = {r["topic"]: int(r["k"]) for r in per_topic}
+    for r in per_topic:
+        if r["lo"] < 0 or r["hi"] >= n:
+            raise ValueError(
+                f"topic {r['topic']!r}: seed ids outside [0, {n}): "
+                f"[{r['lo']}, {r['hi']}]"
+            )
+    K = len(topics)
+
+    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = (
+        edges.join(no_bcast(degrees), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .repartition(shuffle_p, "src")
+        .persist()
+    )
+    ew.count()
+
+    # one vertex-side join builds all K teleport columns: seed membership
+    # arrives as a per-id set of topics, unpacked into t0..t{K-1}
+    seed_sets = seeds.groupBy("id").agg(F.collect_set("topic").alias("ts"))
+    src_ids = degrees.select(F.col("src").alias("id"))
+    tele_cols = [
+        F.when(F.array_contains(F.col("ts"), t), 1.0 / sizes[t])
+        .otherwise(0.0)
+        .alias(f"t{k}")
+        for k, t in enumerate(topics)
+    ]
+    with _util.static_plan(spark):
+        state = (
+            spark.range(0, n, 1, shuffle_p)
+            .join(no_bcast(src_ids.withColumn("nd", F.lit(True))), "id", "left")
+            .join(no_bcast(seed_sets), "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("nd"), F.lit(False)).alias("non_dangling"),
+                *tele_cols,
+            )
+            .select(
+                "id",
+                "non_dangling",
+                *[F.col(f"t{k}") for k in range(K)],
+                *[F.col(f"t{k}").alias(f"r{k}") for k in range(K)],
+            )
+            .repartition(shuffle_p, "id")
+            .localCheckpoint(eager=True)
+        )
+
+    def scalars(df: DataFrame) -> tuple[list[float], list[float]]:
+        row = df.agg(
+            *[
+                F.sum(F.when(~F.col("non_dangling"), F.col(f"r{k}"))).alias(f"d{k}")
+                for k in range(K)
+            ],
+            *[F.sum(f"r{k}").alias(f"s{k}") for k in range(K)],
+        ).first()
+        return (
+            [float(row[f"d{k}"] or 0.0) for k in range(K)],
+            [float(row[f"s{k}"]) for k in range(K)],
+        )
+
+    dmass, total = scalars(state)
+
+    for _ in range(max_iter):
+        with _util.static_plan(spark):
+            new_state = _ppr_batch_iteration(
+                ew, state, K, c, dmass, total, no_bcast
+            ).localCheckpoint(eager=True)
+        row = new_state.agg(
+            *[
+                F.sum(F.abs(F.col(f"r{k}") - F.col(f"o{k}"))).alias(f"del{k}")
+                for k in range(K)
+            ],
+            *[
+                F.sum(F.when(~F.col("non_dangling"), F.col(f"r{k}"))).alias(f"d{k}")
+                for k in range(K)
+            ],
+            *[F.sum(f"r{k}").alias(f"s{k}") for k in range(K)],
+        ).first()
+        dmass = [float(row[f"d{k}"] or 0.0) for k in range(K)]
+        total = [float(row[f"s{k}"]) for k in range(K)]
+        state = new_state.select(
+            "id", "non_dangling", *[f"t{k}" for k in range(K)], *[f"r{k}" for k in range(K)]
+        )
+        if max(float(row[f"del{k}"]) for k in range(K)) < eps:
+            break
+
+    ew.unpersist()
+    norm_row = state.agg(
+        *[F.sum(F.abs(F.col(f"r{k}"))).alias(f"n{k}") for k in range(K)]
+    ).first()
+    stack_args = ", ".join(
+        f"'{t}', r{k} / {float(norm_row[f'n{k}'])!r}" for k, t in enumerate(topics)
+    )
+    return state.select(
+        "id", F.expr(f"stack({K}, {stack_args}) AS (topic, rank)")
+    ).select("topic", "id", "rank")

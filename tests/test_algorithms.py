@@ -757,6 +757,51 @@ def test_adamic_adar_exact(spark):
         adamic_adar(e2, variant="jaccard")
 
 
+def test_ppr_batch_matches_single_runs(spark):
+    """K topics batched into one loop reproduce K independent
+    personalized_pagerank runs (same arithmetic per topic), and the
+    validation mirrors the single-run hygiene."""
+    from pagerank_spark.algorithms.linkanalysis import (
+        personalized_pagerank,
+        personalized_pagerank_batch,
+    )
+
+    arr, n = micro_graphs()["test1_mirror"]
+    e = edges_from_numpy(spark, arr)
+    topic_seeds = {"a": list(range(10)), "b": [5, 50, 99], "c": [123]}
+    seeds = spark.createDataFrame(
+        [(t, s) for t, ss in topic_seeds.items() for s in ss], "topic string, id long"
+    )
+    got = {
+        (r["topic"], r["id"]): r["rank"]
+        for r in personalized_pagerank_batch(e, n, seeds, max_iter=3).collect()
+    }
+    assert len(got) == 3 * n
+    for t, ss in topic_seeds.items():
+        single = {
+            r["id"]: r["rank"]
+            for r in personalized_pagerank(
+                e, n, spark.createDataFrame([(s,) for s in ss], "id long"), max_iter=3
+            ).collect()
+        }
+        for i in range(n):
+            assert abs(got[(t, i)] - single[i]) <= 1e-12 + 1e-9 * abs(single[i]), (
+                t,
+                i,
+            )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank_batch(
+            e, n, spark.createDataFrame([("a", n + 5)], "topic string, id long")
+        )
+    with _pytest.raises(ValueError):
+        personalized_pagerank_batch(
+            e, n, spark.createDataFrame([], "topic string, id long")
+        )
+
+
 def test_ppr_seed_hygiene(spark):
     """Duplicate seeds are deduped (same result as the distinct set);
     out-of-range seeds are a hard error, not a silently-shrunk teleport."""

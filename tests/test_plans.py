@@ -503,3 +503,45 @@ def test_paragraph_dedup_election_is_aggregate_not_window(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final for the min
     sh, _ = _exchanges(df)
     assert sh <= 3, f"paragraph dedup planned {sh} shuffles, want <= 3"
+
+
+def test_ppr_batch_iteration_single_exchange(spark):
+    """The K-topic batched iteration keeps the 1-shuffle/iter contract —
+    the whole point of batching: K topic vectors ride one edge join and
+    one contribution aggregation instead of K separate loops."""
+    from pagerank_spark.algorithms.linkanalysis import _ppr_batch_iteration
+    from pagerank_spark.sources.synthetic import synthetic_edges
+    from pagerank_spark.util import static_plan
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n, K = 300, 4
+    edges = synthetic_edges(spark, n, 3000, seed=7, num_partitions=4)
+    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = (
+        edges.join(degrees.hint("shuffle_hash"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .repartition(p, "src")
+        .persist()
+    )
+    ew.count()
+    state0 = (
+        spark.range(0, n, 1, p)
+        .select(
+            "id",
+            F.lit(True).alias("non_dangling"),
+            *[F.when(F.col("id") < 5, 0.2).otherwise(0.0).alias(f"t{k}") for k in range(K)],
+            *[F.lit(1.0 / n).alias(f"r{k}") for k in range(K)],
+        )
+        .repartition(p, "id")
+    )
+    with static_plan(spark):
+        state = state0.localCheckpoint(eager=True)
+
+    def no_bcast(df):
+        return df.hint("shuffle_hash")
+
+    zeros = [0.0] * K
+    ones = [1.0] * K
+    sh, _bc = _exchanges(_ppr_batch_iteration(ew, state, K, 0.85, zeros, ones, no_bcast))
+    assert sh == 1, f"batched ppr iteration planned {sh} shuffle exchanges, want 1"
+    ew.unpersist()
