@@ -76,6 +76,19 @@ _EDGES_SQL = (
     f"CAST(o_orderkey % {N_VERTS} AS BIGINT) AS dst FROM orders"
 )
 
+# two recrawl snapshots (mirrors queries()._snapshots)
+_SNAPSQL = (
+    f"old_e AS (SELECT DISTINCT CAST(o_custkey % {N_VERTS} AS BIGINT) AS src, "
+    f"CAST(o_orderkey % {N_VERTS} AS BIGINT) AS dst FROM orders),\n"
+    f"new_e AS (SELECT DISTINCT src, dst FROM ("
+    f"SELECT CAST(o_custkey % {N_VERTS} AS BIGINT) AS src, "
+    f"CAST(o_orderkey % {N_VERTS} AS BIGINT) AS dst "
+    f"FROM orders WHERE o_orderkey % 5 <> 0 "
+    f"UNION ALL SELECT CAST(o_custkey % {N_VERTS} AS BIGINT), "
+    f"CAST((o_orderkey + 3) % {N_VERTS} AS BIGINT) "
+    f"FROM orders WHERE o_orderkey % 5 = 0))"
+)
+
 
 def _verts(spark: SparkSession) -> DataFrame:
     return spark.range(0, N_VERTS).select(F.col("id").cast("long"))
@@ -895,6 +908,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return token_budget_select(_docs(spark, sf), budget_tokens=2000)
 
+    def _snapshots(spark, sf):
+        """Two deterministic link-graph snapshots for recrawl-delta queries:
+        'new' drops every orderkey%5==0 edge and adds a shifted edge for it."""
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        src = (F.col("o_custkey") % N_VERTS).cast("long").alias("src")
+        old = orders.select(
+            src, (F.col("o_orderkey") % N_VERTS).cast("long").alias("dst")
+        ).distinct()
+        keep = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+            src, (F.col("o_orderkey") % N_VERTS).cast("long").alias("dst")
+        )
+        added = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+            src, ((F.col("o_orderkey") + 3) % N_VERTS).cast("long").alias("dst")
+        )
+        return old, keep.union(added).distinct()
+
+    def graph_edge_diff(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.graph.diff import edge_diff
+
+        old, new = _snapshots(spark, sf)
+        return edge_diff(old, new)
+
+    def graph_degree_delta(spark, sf):
+        _spark_ready(spark)
+        from pagerank_spark.graph.diff import degree_delta
+
+        old, new = _snapshots(spark, sf)
+        return degree_delta(old, new)
+
+    def lang_sample(spark, sf):
+        """Deterministic stratified sample: 20 docs per language by
+        md5(id) order (salted two-stage top-k under the hood)."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.curation import sample_per_key
+
+        return sample_per_key(_docs(spark, sf), "lang", 20, n_salts=8).select(
+            "lang", "doc_id", "sample_rank"
+        )
+
     def top_customers(spark, sf):
         orders = spark.read.parquet(f"{sf}/orders.parquet")
         cust = spark.read.parquet(f"{sf}/customer.parquet")
@@ -953,6 +1006,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_ipv4",
             "n_phone",
             F.col("has_pii").cast("int").alias("has_pii"),
+        )
+
+    def crawl_schedule(spark, sf):
+        """Per-host politeness-budgeted recrawl schedule: top-5 urls/host by
+        staleness-boosted priority, synthesized from orders (never-fetched =
+        open orders). Salted two-stage top-k on the Spark side; the oracle
+        is the naive single-window schedule."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.frontier import schedule_frontier
+
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        hostn = (F.col("o_custkey") % 50).cast("string")
+        cand = orders.select(
+            F.concat(
+                F.lit("https://h"),
+                hostn,
+                F.lit(".example.com/o/"),
+                F.col("o_orderkey").cast("string"),
+            ).alias("url"),
+            F.concat(F.lit("h"), hostn).alias("host"),
+            (F.col("o_totalprice") / F.lit(1e5)).alias("score"),
+            F.when(F.col("o_orderstatus") == "O", None)
+            .otherwise(F.col("o_orderdate"))
+            .alias("last_fetch_ts"),
+        )
+        s = schedule_frontier(cand, now="1998-12-01", budget_per_host=5, n_salts=8)
+        return s.select(
+            "host",
+            "url",
+            F.round(F.col("priority") * 1e6).cast("long").alias("priority_e6"),
+            "fetch_order",
         )
 
     def user_sessions(spark, sf):
@@ -1083,10 +1167,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_gopher_filter": corpus_gopher_filter,
         "doc_split": doc_split,
         "token_budget_sample": token_budget_sample,
+        "lang_sample": lang_sample,
+        "graph_edge_diff": graph_edge_diff,
+        "graph_degree_delta": graph_degree_delta,
         "top_customers": top_customers,
         "pricing_summary": pricing_summary,
         "doc_pii": doc_pii,
         "user_event_stats": user_event_stats,
+        "crawl_schedule": crawl_schedule,
         "user_sessions": user_sessions,
         "windowed_event_stats": windowed_event_stats,
         "media_features": media_features,
@@ -2277,6 +2365,37 @@ SELECT doc_id,
        ELSE 'test' END AS split
 FROM documents
 """,
+        "graph_edge_diff": (
+            "WITH " + _SNAPSQL + """
+SELECT src, dst, 'added' AS change FROM (SELECT src, dst FROM new_e EXCEPT SELECT src, dst FROM old_e)
+UNION ALL
+SELECT src, dst, 'removed' FROM (SELECT src, dst FROM old_e EXCEPT SELECT src, dst FROM new_e)
+"""
+        ),
+        "graph_degree_delta": (
+            "WITH " + _SNAPSQL + """,
+d_old AS (SELECT id, COUNT(*) FILTER (o = 1) AS odeg, COUNT(*) FILTER (o = 0) AS ideg
+          FROM (SELECT src AS id, 1 AS o FROM old_e UNION ALL SELECT dst, 0 FROM old_e) GROUP BY id),
+d_new AS (SELECT id, COUNT(*) FILTER (o = 1) AS odeg, COUNT(*) FILTER (o = 0) AS ideg
+          FROM (SELECT src AS id, 1 AS o FROM new_e UNION ALL SELECT dst, 0 FROM new_e) GROUP BY id),
+j AS (SELECT COALESCE(d_old.id, d_new.id) AS id,
+             COALESCE(d_old.odeg, 0) AS outdeg_old, COALESCE(d_new.odeg, 0) AS outdeg_new,
+             COALESCE(d_old.ideg, 0) AS indeg_old, COALESCE(d_new.ideg, 0) AS indeg_new
+      FROM d_old FULL OUTER JOIN d_new ON d_old.id = d_new.id)
+SELECT id, outdeg_old, outdeg_new, indeg_old, indeg_new,
+       outdeg_new - outdeg_old AS d_outdeg, indeg_new - indeg_old AS d_indeg
+FROM j WHERE outdeg_new <> outdeg_old OR indeg_new <> indeg_old
+"""
+        ),
+        "lang_sample": """
+WITH d AS (SELECT doc_id, lang,
+                  md5(CAST(doc_id AS VARCHAR)) AS okey FROM documents),
+rk AS (SELECT lang, doc_id,
+       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY okey ASC, doc_id ASC)
+         AS sample_rank
+       FROM d)
+SELECT lang, doc_id, sample_rank FROM rk WHERE sample_rank <= 20
+""",
         "token_budget_sample": f"""
 WITH q AS (
   SELECT doc_id, lang, len(t) AS n_tokens,
@@ -2356,6 +2475,28 @@ SELECT doc_id,
            + len(regexp_extract_all(text, '\+\d{1,2}[ \-]\d{3}[ \-]\d{3}[ \-]\d{4}')) > 0
        THEN 1 ELSE 0 END AS INTEGER) AS has_pii
 FROM d
+""",
+        "crawl_schedule": """
+WITH cand AS (
+  SELECT 'https://h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com/o/'
+           || CAST(o_orderkey AS VARCHAR) AS url,
+         'h' || CAST(o_custkey % 50 AS VARCHAR) AS host,
+         o_totalprice / 1e5 AS score,
+         CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderdate END AS lf
+  FROM orders),
+pri AS (
+  SELECT host, url,
+         score * (1.0 + COALESCE(
+           CAST(DATEDIFF('day', CAST(lf AS DATE), DATE '1998-12-01') AS DOUBLE),
+           365.0) / 30.0) AS priority
+  FROM cand),
+rk AS (
+  SELECT host, url, priority,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, url ASC)
+           AS fetch_order
+  FROM pri)
+SELECT host, url, CAST(ROUND(priority * 1e6) AS BIGINT) AS priority_e6, fetch_order
+FROM rk WHERE fetch_order <= 5
 """,
         "user_sessions": """
 WITH t AS (

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pagerank_spark import util as _util
+
 from pagerank_spark.functions.textstats import (
     STOPWORDS,
     quality_features,
@@ -197,3 +199,39 @@ def token_budget_select(
         .where(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, stratum_col, "n_tokens", "quality_e6", "cum_tokens")
     )
+
+
+def sample_per_key(
+    docs: DataFrame,
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Deterministic stratified sample: exactly ``min(k, |group|)`` rows per
+    ``key_col`` group, chosen by md5(salt || id) order — the per-host /
+    per-domain / per-language down-sampling stage of a pretraining corpus
+    (cap any one source's share without an RNG).
+
+    Like :func:`hash_split`, selection is a pure function of the row id:
+    the same doc wins on every run, cluster size, and engine (the md5-hex
+    ordering reproduces verbatim in SQL), and changing ``salt`` draws an
+    independent sample. Each group's members are md5-ranked, i.e. uniform
+    without replacement within the group.
+
+    Executed as ``util.salted_top_k`` (two-stage window), so a corpus where
+    one host holds 1e8 docs and the median holds 10 — the expected web
+    skew — never sorts a whole group on one reducer. Returns the input
+    columns plus ``sample_rank`` in 1..k.
+    """
+    okey = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return _util.salted_top_k(
+        docs.withColumn("_okey", okey),
+        keys=[key_col],
+        order=[F.asc("_okey"), F.asc(id_col)],
+        k=k,
+        salt_expr=F.xxhash64(F.col(id_col).cast("string")),
+        n_salts=n_salts,
+        rank_col="sample_rank",
+    ).drop("_okey")

@@ -95,3 +95,46 @@ def md5_hash60(col) -> "F.Column":
     Single definition so HyperBall registers, random-walk choices, and any
     future oracle-checked hashing stay in lockstep with the SQL convention."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def salted_top_k(
+    df: DataFrame,
+    keys: list[str],
+    order: list,
+    k: int,
+    salt_expr,
+    n_salts: int = 32,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """EXACT top-k rows per key via a salted two-stage window — the skew-safe
+    replacement for a single ``row_number() over (partition by key)`` when
+    keys are web-hot (one host/domain holding 1e8 rows would otherwise sort
+    on a single reducer).
+
+    Stage 1 ranks within (keys..., salt) shards and keeps k per shard;
+    stage 2 re-ranks the <= k * n_salts survivors per key. Exact for any
+    salt assignment: a true global top-k row beats everything in its own
+    shard too. ``salt_expr`` must be deterministic per row (hash a stable
+    column) so retries shard identically; ``order`` must totally order rows
+    (include a unique tiebreaker) or ranks are nondeterministic.
+
+    Returns the input columns plus ``rank_col`` in 1..k per key.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    cols = df.columns
+    salted = df.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salts)).cast("int"))
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+    stage1 = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        stage1.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .select(*cols, rank_col)
+    )

@@ -112,3 +112,51 @@ def test_token_budget_select_greedy_prefix(spark, docs):
         )
         if rest:
             assert cum + rest[0]["n_tokens"] > budget
+
+
+def test_sample_per_key_deterministic_md5_order(spark, docs):
+    """Exactly min(k, group size) rows per key, chosen by md5(salt||id)
+    order — python twin; salt draws an independent sample; reruns and
+    different salt shard counts agree."""
+    import hashlib
+    from collections import defaultdict
+
+    from pagerank_spark.pipeline.curation import sample_per_key
+
+    rows = docs.select("doc_id", "lang").collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["lang"]].append(r["doc_id"])
+    k = 7
+    exp = {}
+    for lang, ids in groups.items():
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for rk, i in enumerate(ranked[:k], start=1):
+            exp[(lang, i)] = rk
+
+    got = {
+        (r["lang"], r["doc_id"]): r["sample_rank"]
+        for r in sample_per_key(docs, "lang", k).select(
+            "lang", "doc_id", "sample_rank"
+        ).collect()
+    }
+    assert got == exp
+
+    again = {
+        (r["lang"], r["doc_id"]): r["sample_rank"]
+        for r in sample_per_key(docs, "lang", k, n_salts=4).select(
+            "lang", "doc_id", "sample_rank"
+        ).collect()
+    }
+    assert again == got
+
+    other = {
+        (r["lang"], r["doc_id"])
+        for r in sample_per_key(docs, "lang", k, salt="v2").select(
+            "lang", "doc_id"
+        ).collect()
+    }
+    assert other != set(got)  # independent draw
+
+    with pytest.raises(ValueError):
+        sample_per_key(docs, "lang", 0)

@@ -119,3 +119,38 @@ def test_latest_snapshot_single_exchange(spark):
 
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
     assert "Window" not in plan  # aggregate form, not window+filter
+
+
+def test_edge_diff_and_degree_delta(spark):
+    """Hand-computed recrawl delta: added/removed edge sets and per-vertex
+    degree movement, with parallel edges collapsed and unchanged vertices
+    suppressed."""
+    from pagerank_spark.graph.diff import degree_delta, edge_diff
+
+    old = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    new = spark.createDataFrame(
+        [(0, 1), (1, 2), (1, 2), (2, 4), (4, 0), (5, 1)], "src long, dst long"
+    )
+    diff = {(r["src"], r["dst"]): r["change"] for r in edge_diff(old, new).collect()}
+    assert diff == {
+        (2, 3): "removed",
+        (3, 0): "removed",
+        (2, 4): "added",
+        (4, 0): "added",
+        (5, 1): "added",
+    }
+
+    dd = {r["id"]: (r["d_outdeg"], r["d_indeg"]) for r in degree_delta(old, new).collect()}
+    # 0: out 1->1, in 1->1 (3->0 removed, 4->0 added) => unchanged, suppressed
+    # 1: in 1->2 (5->1 added); 2: out 1->1 in unchanged? 1->2 stays, so in 1->1; out (2,3)->(2,4) 1->1 => suppressed
+    assert dd == {
+        1: (0, 1),
+        3: (-1, -1),
+        4: (1, 1),
+        5: (1, 0),
+    }
+    # symmetric sanity: diffing a snapshot against itself is empty
+    assert edge_diff(new, new).isEmpty()
+    assert degree_delta(new, new).isEmpty()

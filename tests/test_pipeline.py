@@ -603,3 +603,64 @@ def test_paragraph_dedup_literal_separator(spark):
     }
     assert got[1] == (3, 2, "aa|bb")
     assert got[2] == (2, 1, "cc")
+
+
+# ------------------------------------------------------------ crawl frontier
+def test_schedule_frontier_exact(spark):
+    """Salted two-stage top-k equals the naive single-window schedule on a
+    corpus with a deliberately hot host, NULL last-fetch dates, and score
+    ties; fetch_order is contiguous 1..k per host."""
+    import datetime as dt
+
+    from pagerank_spark.pipeline.frontier import schedule_frontier
+
+    rng = np.random.default_rng(11)
+    now = dt.date(2026, 3 + 0, 1)
+    rows = []
+    for i in range(500):
+        host = "hot.example" if i < 200 else f"h{int(rng.integers(0, 12))}.example"
+        url = f"https://{host}/p/{i:04d}"
+        score = float(rng.integers(1, 50)) / 10.0  # coarse -> many ties
+        if rng.random() < 0.3:
+            fetched = None
+        else:
+            fetched = dt.datetime(2026, 1, 1) + dt.timedelta(
+                days=int(rng.integers(0, 60))
+            )
+        rows.append((url, host, score, fetched))
+    df = spark.createDataFrame(
+        rows, "url string, host string, score double, last_fetch_ts timestamp"
+    )
+    got = schedule_frontier(
+        df, now="2026-03-01", budget_per_host=5, n_salts=4
+    ).collect()
+
+    # python twin
+    def pri(score, fetched):
+        age = 365.0 if fetched is None else float((now - fetched.date()).days)
+        return score * (1.0 + age / 30.0)
+
+    from collections import defaultdict
+
+    per_host = defaultdict(list)
+    for url, host, score, fetched in rows:
+        per_host[host].append((url, pri(score, fetched)))
+    exp = {}
+    for host, items in per_host.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        for k, (url, p) in enumerate(items[:5], start=1):
+            exp[(host, url)] = (p, k)
+
+    assert len(got) == len(exp)
+    for r in got:
+        p, k = exp[(r["host"], r["url"])]
+        assert abs(r["priority"] - p) < 1e-9
+        assert r["fetch_order"] == k
+
+    # determinism across runs (different salt layout must not matter)
+    again = schedule_frontier(df, now="2026-03-01", budget_per_host=5, n_salts=16)
+    assert sorted((r["host"], r["url"], r["fetch_order"]) for r in again.collect()) \
+        == sorted((r["host"], r["url"], r["fetch_order"]) for r in got)
+
+    with pytest.raises(ValueError):
+        schedule_frontier(df, now="2026-03-01", budget_per_host=0)
