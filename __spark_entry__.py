@@ -938,6 +938,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         old, new = _snapshots(spark, sf)
         return degree_delta(old, new)
 
+    def dedup_spans(spark, sf):
+        """Span-level duplication stats (8-token fingerprint windows,
+        cross-doc df >= 2), Lee-et-al-2022 style."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.dedup import duplicate_spans
+
+        s = duplicate_spans(_docs(spark, sf), span_tokens=8, min_df=2)
+        return s.select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("dup_fraction") * 1e6).cast("long").alias("dupfrac_e6"),
+        )
+
     def lang_sample(spark, sf):
         """Deterministic stratified sample: 20 docs per language by
         md5(id) order (salted two-stage top-k under the hood)."""
@@ -1168,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": doc_split,
         "token_budget_sample": token_budget_sample,
         "lang_sample": lang_sample,
+        "dedup_spans": dedup_spans,
         "graph_edge_diff": graph_edge_diff,
         "graph_degree_delta": graph_degree_delta,
         "top_customers": top_customers,
@@ -1339,6 +1354,24 @@ SELECT c AS doc_id, COUNT(*) AS n_paras,
        COALESCE(string_agg(CASE WHEN keep THEN para END,
                            chr(10) || chr(10) ORDER BY idx), '') AS text
 FROM kept GROUP BY c
+"""
+    SPANS = f"""
+WITH toks AS (SELECT doc_id AS id, {TOKS} AS t FROM documents),
+w AS (SELECT id, CASE WHEN len(t) >= 8
+        THEN list_transform(range(1, len(t) - 6),
+             i -> array_to_string(list_slice(t, i, i + 7), ' '))
+        ELSE [] END AS wins
+      FROM toks WHERE len(t) > 0),
+ex AS (SELECT id, unnest(wins) AS wt FROM w),
+sdf AS (SELECT wt, COUNT(DISTINCT id) AS df FROM ex GROUP BY wt),
+per AS (SELECT ex.id, COUNT(*) AS n_dup FROM ex
+        JOIN sdf ON sdf.wt = ex.wt WHERE sdf.df >= 2 GROUP BY ex.id)
+SELECT w.id AS doc_id, CAST(len(w.wins) AS BIGINT) AS n_windows,
+       CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       CAST(ROUND(CASE WHEN len(w.wins) > 0
+            THEN CAST(COALESCE(per.n_dup, 0) AS DOUBLE) / len(w.wins)
+            ELSE 0.0 END * 1e6) AS BIGINT) AS dupfrac_e6
+FROM w LEFT JOIN per ON per.id = w.id
 """
     NGRAM = f"""
 WITH toks AS (
@@ -2248,6 +2281,7 @@ FROM m
             "FROM orders WHERE o_orderkey < 5000"
         ),
         "dedup_ngram_jaccard": NGRAM,
+        "dedup_spans": SPANS,
         "search_bm25": BM25,
         "contamination_screen": CONTAM,
         "dedup_minhash_lsh": MINHASH,

@@ -796,3 +796,118 @@ def paragraph_dedup(
             sep,
         ).alias(text_col),
     ).withColumnRenamed("_id", id_col)
+
+
+def span_windows(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, wins array<string>): every consecutive ``span_tokens``-token
+    window of each doc under the canonical tokenizer (token_arrays) —
+    len(toks) - span_tokens + 1 windows, or [] for shorter docs. Pure
+    Column expressions (transform/sequence/slice/concat_ws), no UDF."""
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be >= 2")
+    L = int(span_tokens)
+    toks = token_arrays(docs, id_col=id_col, text_col=text_col)
+    return toks.select(
+        "id",
+        F.when(
+            F.size("toks") >= L,
+            F.expr(
+                f"transform(sequence(1, size(toks) - {L} + 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {L})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("wins"),
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level (substring) duplication stats — the fingerprint-window
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a window
+    is DUPLICATED when its exact ``span_tokens``-token text occurs in at
+    least ``min_df`` distinct documents; a doc's dup_fraction is the share
+    of its window positions that are duplicated (in-doc repeats of a
+    cross-doc span all count — they'd all be cut by the span remover).
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_fraction) for every
+    tokenizable doc. Exact for the window granularity (every duplicated
+    run of >= span_tokens tokens is detected; shorter overlaps are not —
+    the standard recall/window-length trade).
+
+    Scale shape: windows explode to O(total tokens) rows — one map-side
+    stage; the span-df aggregation is one shuffle with partial
+    count-distinct (boilerplate-hot spans combine map-side); the hot-span
+    membership join keys on the md5 and the per-doc rollup is the last
+    shuffle. No window functions, no driver state, no all-pairs join
+    anywhere — corpus-linear at 100 TB.
+    """
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2 (a span is its own 1st copy)")
+    wins = span_windows(docs, span_tokens, id_col, text_col)
+    ex = wins.select("id", F.explode("wins").alias("w")).select(
+        "id", F.md5("w").alias("h")
+    )
+    span_df = ex.groupBy("h").agg(F.count_distinct("id").alias("df"))
+    hot = span_df.filter(F.col("df") >= min_df).select("h")
+    from pagerank_spark import util as _util
+
+    # hot-span side is data-dependent; gate the hint on the corpus row count
+    # like the engine's other O(V)-ish sides
+    if docs.count() > _util.BROADCAST_SAFE_ROWS:
+        hot = hot.hint("shuffle_hash")
+    per_doc = (
+        ex.join(hot, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        wins.select("id", F.size("wins").cast("long").alias("n_windows"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.coalesce("n_dup_windows", F.lit(0))
+                / F.col("n_windows").cast("double"),
+            )
+            .otherwise(0.0)
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def duplicate_span_table(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The duplicated spans themselves: (span, df) for every exact
+    ``span_tokens``-token window occurring in >= ``min_df`` distinct docs
+    — the boilerplate catalog a span-removal pass consumes. Same plan as
+    :func:`duplicate_spans` up to the df aggregation (keyed on the span
+    text so the output is human-auditable; the stats variant keys on md5)."""
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2")
+    wins = span_windows(docs, span_tokens, id_col, text_col)
+    ex = wins.select("id", F.explode("wins").alias("span"))
+    return (
+        ex.groupBy("span")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
