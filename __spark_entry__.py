@@ -938,6 +938,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         old, new = _snapshots(spark, sf)
         return degree_delta(old, new)
 
+    def pagerank_movers(spark, sf):
+        """Recrawl rank delta: 2-iteration PageRank on both snapshots,
+        top-20 movers by |delta| (integer-e6 ordering so both engines
+        rank identically)."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.pagerank import PageRank
+
+        old, new = _snapshots(spark, sf)
+        ro = (
+            PageRank(max_iter=2, eps=0.0)
+            .run(old, N_VERTS)
+            .ranks.select("id", F.round(F.col("rank") * 1e6).cast("long").alias("rank_old_e6"))
+        )
+        rn = (
+            PageRank(max_iter=2, eps=0.0)
+            .run(new, N_VERTS)
+            .ranks.select("id", F.round(F.col("rank") * 1e6).cast("long").alias("rank_new_e6"))
+        )
+        return (
+            ro.join(rn, "id")
+            .select(
+                "id",
+                "rank_old_e6",
+                "rank_new_e6",
+                (F.col("rank_new_e6") - F.col("rank_old_e6")).alias("delta_e6"),
+            )
+            .orderBy(F.abs(F.col("delta_e6")).desc(), F.asc("id"))
+            .limit(20)
+        )
+
+    def corpus_lang_stats(spark, sf):
+        """Per-language length profile (exact interpolated percentiles)."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.curation import corpus_stats_by
+
+        s = corpus_stats_by(_docs(spark, sf), "lang", "n_chars", exact=True)
+        return s.select(
+            "key",
+            "n_docs",
+            F.round(F.col("mean_len") * 1e2).cast("long").alias("mean_len_e2"),
+            F.round(F.col("p50_len") * 1e2).cast("long").alias("p50_e2"),
+            F.round(F.col("p90_len") * 1e2).cast("long").alias("p90_e2"),
+        )
+
+    def corpus_diversity(spark, sf):
+        """One-row source-concentration report (HHI + top-1 share)."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.curation import source_diversity
+
+        d = source_diversity(_docs(spark, sf), "source")
+        return d.select(
+            "n_keys",
+            F.round(F.col("hhi") * 1e6).cast("long").alias("hhi_e6"),
+            F.round(F.col("top1_share") * 1e6).cast("long").alias("top1_e6"),
+        )
+
     def dedup_spans(spark, sf):
         """Span-level duplication stats (8-token fingerprint windows,
         cross-doc df >= 2), Lee-et-al-2022 style."""
@@ -1183,6 +1239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": token_budget_sample,
         "lang_sample": lang_sample,
         "dedup_spans": dedup_spans,
+        "pagerank_movers": pagerank_movers,
+        "corpus_lang_stats": corpus_lang_stats,
+        "corpus_diversity": corpus_diversity,
         "graph_edge_diff": graph_edge_diff,
         "graph_degree_delta": graph_degree_delta,
         "top_customers": top_customers,
@@ -2094,6 +2153,60 @@ SELECT v.id,
        ELSE 'DISCONNECTED' END AS component
 FROM ({V}) v
 """
+    def _pr2sql(tag: str, esrc: str) -> str:
+        # 2 unrolled uniform iterations over {esrc}, L1-normalized at the
+        # end — the PR2 recipe parameterized for the recrawl snapshots
+        return f"""
+deg{tag} AS (SELECT src AS id, COUNT(*) AS outdeg FROM {esrc} GROUP BY src),
+r{tag}0 AS (SELECT id, 1.0/{N_VERTS} AS r FROM ({V}) v),
+d{tag}0 AS (SELECT COALESCE(SUM(x.r), 0) AS dm FROM r{tag}0 x
+            LEFT JOIN deg{tag} USING (id) WHERE deg{tag}.id IS NULL),
+c{tag}1 AS (SELECT e.dst AS id, SUM(x.r / deg{tag}.outdeg) AS contrib
+            FROM {esrc} e JOIN r{tag}0 x ON x.id = e.src
+            JOIN deg{tag} ON deg{tag}.id = e.src GROUP BY e.dst),
+r{tag}1 AS (SELECT v.id,
+            0.85 * (COALESCE(c{tag}1.contrib, 0) + (SELECT dm FROM d{tag}0)/{N_VERTS})
+            + 0.15/{N_VERTS} * (SELECT SUM(r) FROM r{tag}0) AS r
+            FROM ({V}) v LEFT JOIN c{tag}1 ON c{tag}1.id = v.id),
+d{tag}1 AS (SELECT COALESCE(SUM(x.r), 0) AS dm FROM r{tag}1 x
+            LEFT JOIN deg{tag} USING (id) WHERE deg{tag}.id IS NULL),
+c{tag}2 AS (SELECT e.dst AS id, SUM(x.r / deg{tag}.outdeg) AS contrib
+            FROM {esrc} e JOIN r{tag}1 x ON x.id = e.src
+            JOIN deg{tag} ON deg{tag}.id = e.src GROUP BY e.dst),
+r{tag}2 AS (SELECT v.id,
+            0.85 * (COALESCE(c{tag}2.contrib, 0) + (SELECT dm FROM d{tag}1)/{N_VERTS})
+            + 0.15/{N_VERTS} * (SELECT SUM(r) FROM r{tag}1) AS r
+            FROM ({V}) v LEFT JOIN c{tag}2 ON c{tag}2.id = v.id),
+n{tag} AS (SELECT id, r / (SELECT SUM(ABS(r)) FROM r{tag}2) AS r FROM r{tag}2)"""
+
+    MOVERS = (
+        "WITH " + _SNAPSQL + ","
+        + _pr2sql("o", "old_e") + ","
+        + _pr2sql("n", "new_e")
+        + """
+SELECT a.id, CAST(ROUND(a.r * 1e6) AS BIGINT) AS rank_old_e6,
+       CAST(ROUND(b.r * 1e6) AS BIGINT) AS rank_new_e6,
+       CAST(ROUND(b.r * 1e6) - ROUND(a.r * 1e6) AS BIGINT) AS delta_e6
+FROM no a JOIN nn b ON b.id = a.id
+ORDER BY ABS(ROUND(b.r * 1e6) - ROUND(a.r * 1e6)) DESC, a.id ASC
+LIMIT 20
+"""
+    )
+
+    LANGSTATS = """
+SELECT lang AS key, COUNT(*) AS n_docs,
+       CAST(ROUND(AVG(n_chars) * 1e2) AS BIGINT) AS mean_len_e2,
+       CAST(ROUND(quantile_cont(n_chars, 0.5) * 1e2) AS BIGINT) AS p50_e2,
+       CAST(ROUND(quantile_cont(n_chars, 0.9) * 1e2) AS BIGINT) AS p90_e2
+FROM documents GROUP BY lang
+"""
+    DIVERSITY = """
+WITH per AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS wt FROM documents GROUP BY source)
+SELECT COUNT(*) AS n_keys,
+       CAST(ROUND(SUM(wt * wt) / (SUM(wt) * SUM(wt)) * 1e6) AS BIGINT) AS hhi_e6,
+       CAST(ROUND(MAX(wt) / SUM(wt) * 1e6) AS BIGINT) AS top1_e6
+FROM per
+"""
     # ---- whole-graph summary: reciprocity + out-in degree assortativity
     # (population-moment Pearson, same formula the Spark side uses)
     GSTATS = f"""
@@ -2282,6 +2395,9 @@ FROM m
         ),
         "dedup_ngram_jaccard": NGRAM,
         "dedup_spans": SPANS,
+        "pagerank_movers": MOVERS,
+        "corpus_lang_stats": LANGSTATS,
+        "corpus_diversity": DIVERSITY,
         "search_bm25": BM25,
         "contamination_screen": CONTAM,
         "dedup_minhash_lsh": MINHASH,

@@ -235,3 +235,55 @@ def sample_per_key(
         n_salts=n_salts,
         rank_col="sample_rank",
     ).drop("_okey")
+
+
+def corpus_stats_by(
+    docs: DataFrame,
+    key_col: str = "lang",
+    length_col: str = "n_chars",
+    exact: bool = False,
+) -> DataFrame:
+    """Per-group corpus length profile: (key, n_docs, mean_len, p50_len,
+    p90_len) — the mixture report a pretraining-data curator reads before
+    setting per-language/per-source sampling weights.
+
+    ``exact=False`` (default, the at-scale path) uses
+    ``percentile_approx`` — bounded-memory t-digest-style sketch, one
+    shuffle with map-side partials, safe when one language holds 1e10
+    docs. ``exact=True`` switches to the exact interpolated percentile
+    (buffers each group's values — the oracle/validation path; both
+    engines define it as linear interpolation so DuckDB's quantile_cont
+    reproduces it bit-for-bit at small scale).
+    """
+    pct = F.percentile if exact else F.percentile_approx
+    return docs.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(length_col).alias("mean_len"),
+        pct(F.col(length_col), F.lit(0.5)).cast("double").alias("p50_len"),
+        pct(F.col(length_col), F.lit(0.9)).cast("double").alias("p90_len"),
+    )
+
+
+def source_diversity(
+    docs: DataFrame,
+    key_col: str = "source",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One-row corpus concentration report over ``key_col`` (host, domain,
+    source, lang): (n_keys, hhi, top1_share) where hhi is the
+    Herfindahl-Hirschman index Σ share² — 1/n for a perfectly even corpus,
+    →1 when one source dominates — and shares weight by row count or
+    ``weight_col`` (e.g. token counts).
+
+    Deliberately sort-free: a Gini coefficient needs a global sort of the
+    per-key aggregates; HHI and max-share are plain aggregates, so the
+    whole plan is two partial-aggregated shuffles regardless of key
+    cardinality.
+    """
+    w = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    per = docs.groupBy(key_col).agg(w.cast("double").alias("wt"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        (F.sum(F.col("wt") * F.col("wt")) / (F.sum("wt") * F.sum("wt"))).alias("hhi"),
+        (F.max("wt") / F.sum("wt")).alias("top1_share"),
+    )

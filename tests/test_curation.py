@@ -160,3 +160,55 @@ def test_sample_per_key_deterministic_md5_order(spark, docs):
 
     with pytest.raises(ValueError):
         sample_per_key(docs, "lang", 0)
+
+
+def test_corpus_stats_by_exact_matches_numpy(spark, docs):
+    import numpy as np
+
+    from pagerank_spark.pipeline.curation import corpus_stats_by
+
+    got = {
+        r["key"]: r
+        for r in corpus_stats_by(docs, "lang", "n_chars", exact=True).collect()
+    }
+    rows = docs.select("lang", "n_chars").collect()
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for r in rows:
+        by[r["lang"]].append(r["n_chars"])
+    assert set(got) == set(by)
+    for lang, vals in by.items():
+        a = np.array(vals, dtype=float)
+        g = got[lang]
+        assert g["n_docs"] == len(vals)
+        assert abs(g["mean_len"] - a.mean()) < 1e-9
+        assert abs(g["p50_len"] - np.percentile(a, 50)) < 1e-9
+        assert abs(g["p90_len"] - np.percentile(a, 90)) < 1e-9
+    # the sketch path runs and lands near the exact one
+    approx = {r["key"]: r for r in corpus_stats_by(docs, "lang").collect()}
+    for lang in by:
+        assert approx[lang]["n_docs"] == got[lang]["n_docs"]
+
+
+def test_source_diversity_hand_computed(spark):
+    from pagerank_spark.pipeline.curation import source_diversity
+
+    rows = [(i, "a" if i < 60 else ("b" if i < 90 else "c"), 10 * (i + 1))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    r = source_diversity(df, "source").first()
+    # counts: a=60, b=30, c=10 over 100
+    exp_hhi = 0.6**2 + 0.3**2 + 0.1**2
+    assert r["n_keys"] == 3
+    assert abs(r["hhi"] - exp_hhi) < 1e-12
+    assert abs(r["top1_share"] - 0.6) < 1e-12
+
+    rw = source_diversity(df, "source", weight_col="n_tokens").first()
+    tot = sum(10 * (i + 1) for i in range(100))
+    wa = sum(10 * (i + 1) for i in range(60))
+    wb = sum(10 * (i + 1) for i in range(60, 90))
+    wc = tot - wa - wb
+    exp = (wa / tot) ** 2 + (wb / tot) ** 2 + (wc / tot) ** 2
+    assert abs(rw["hhi"] - exp) < 1e-12
+    assert abs(rw["top1_share"] - max(wa, wb, wc) / tot) < 1e-12
