@@ -994,6 +994,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("top1_share") * 1e6).cast("long").alias("top1_e6"),
         )
 
+    def search_phrase(spark, sf):
+        """Positional-index exact phrase search ('hash join') with
+        overlapping-match counts."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.search import phrase_search
+
+        return phrase_search(_docs(spark, sf), "hash join")
+
+    def doc_surprisal(spark, sf):
+        """Corpus-unigram-LM mean token surprisal per doc (Lidstone 0.5)."""
+        _spark_ready(spark)
+        from pagerank_spark.functions.textstats import unigram_surprisal
+
+        u = unigram_surprisal(_docs(spark, sf))
+        return u.select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("mean_surprisal") * 1e6).cast("long").alias("surprisal_e6"),
+        )
+
     def dedup_spans(spark, sf):
         """Span-level duplication stats (8-token fingerprint windows,
         cross-doc df >= 2), Lee-et-al-2022 style."""
@@ -1239,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": token_budget_sample,
         "lang_sample": lang_sample,
         "dedup_spans": dedup_spans,
+        "doc_surprisal": doc_surprisal,
+        "search_phrase": search_phrase,
         "pagerank_movers": pagerank_movers,
         "corpus_lang_stats": corpus_lang_stats,
         "corpus_diversity": corpus_diversity,
@@ -1431,6 +1453,27 @@ SELECT w.id AS doc_id, CAST(len(w.wins) AS BIGINT) AS n_windows,
             THEN CAST(COALESCE(per.n_dup, 0) AS DOUBLE) / len(w.wins)
             ELSE 0.0 END * 1e6) AS BIGINT) AS dupfrac_e6
 FROM w LEFT JOIN per ON per.id = w.id
+"""
+    SURPRISAL = f"""
+WITH toks AS (SELECT doc_id AS id, {TOKS} AS t FROM documents),
+ex AS (SELECT id, unnest(t) AS tok FROM toks WHERE len(t) > 0),
+c AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok),
+sc AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM c)
+SELECT ex.id AS doc_id, COUNT(*) AS n_tokens,
+       CAST(ROUND(AVG(-LN((c.c + 0.5) /
+            ((SELECT n FROM sc) + 0.5 * ((SELECT v FROM sc) + 1)))) * 1e6)
+         AS BIGINT) AS surprisal_e6
+FROM ex JOIN c USING (tok) GROUP BY ex.id
+"""
+    PHRASE = f"""
+WITH toks AS (SELECT doc_id AS id, {TOKS} AS t FROM documents),
+ex AS (SELECT id, unnest(t) AS term,
+       CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos FROM toks),
+s0 AS (SELECT id, pos AS p FROM ex WHERE term = 'hash'),
+s1 AS (SELECT id, pos - 1 AS p FROM ex WHERE term = 'join')
+SELECT s0.id AS doc_id, COUNT(*) AS n_matches
+FROM s0 JOIN s1 ON s1.id = s0.id AND s1.p = s0.p
+GROUP BY s0.id
 """
     NGRAM = f"""
 WITH toks AS (
@@ -2395,6 +2438,8 @@ FROM m
         ),
         "dedup_ngram_jaccard": NGRAM,
         "dedup_spans": SPANS,
+        "doc_surprisal": SURPRISAL,
+        "search_phrase": PHRASE,
         "pagerank_movers": MOVERS,
         "corpus_lang_stats": LANGSTATS,
         "corpus_diversity": DIVERSITY,

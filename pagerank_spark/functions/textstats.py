@@ -326,3 +326,51 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for name, pat in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return docs.withColumn("redacted", red)
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-self-trained unigram LM quality signal: per-document mean
+    token surprisal −(1/n)·Σ ln p(tok), with p estimated from the SAME
+    corpus under Lidstone smoothing ``p(t) = (c(t) + α) / (N + α·(V+1))``
+    (the +1 reserves mass for unseen tokens, keeping the estimate proper).
+
+    Gibberish/boilerplate separates cleanly: rare-token soup scores high
+    surprisal, a doc of nothing but the corpus's hottest tokens scores low
+    — the cheap stand-in for the KenLM-perplexity filter of CCNet/Gopher
+    when no external LM can ship with the job.
+
+    Returns (doc_id, n_tokens, mean_surprisal) for tokenizable docs.
+
+    Scale shape: token explode (map-only) → unigram counts (one shuffle,
+    map-side combine absorbs the Zipf head) → count join keyed on the
+    token (the hot "the" key is ONE row on the count side — hash join
+    replication, no skewed aggregation) → per-doc mean (one shuffle).
+    Corpus-linear, no UDFs, no driver state; the two scalars (N, V) are
+    one tiny aggregate action.
+    """
+    from pagerank_spark.pipeline.dedup import token_arrays
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    toks = token_arrays(docs, id_col=id_col, text_col=text_col)
+    ex = toks.select("id", F.explode("toks").alias("tok"))
+    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    row = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    n_total, vocab = int(row["n"] or 0), int(row["v"] or 0)
+    denom = float(n_total) + alpha * (vocab + 1)
+    surprisal = -F.log((F.col("c") + F.lit(float(alpha))) / F.lit(denom))
+    return (
+        ex.join(counts.select("tok", surprisal.alias("s")), "tok")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("s").alias("mean_surprisal"),
+        )
+    )

@@ -114,3 +114,55 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "score", "rank"
     )
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, term, pos): the positional inverted index (0-based token
+    positions under the canonical tokenizer) — phrase/proximity queries'
+    building block. Pure posexplode, map-only."""
+    from pagerank_spark.pipeline.dedup import token_arrays
+
+    toks = token_arrays(docs, id_col=id_col, text_col=text_col)
+    return toks.select(
+        F.col("id").alias(id_col), F.posexplode("toks").alias("pos", "term")
+    ).select(id_col, "term", "pos")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact consecutive-phrase match: (doc_id, n_matches) for every doc
+    containing the phrase's tokens adjacently, counting every (possibly
+    overlapping) start position.
+
+    Classic positional-index conjunction: for an m-term phrase, align the
+    m posting streams by joining on (doc, pos − i). Each stream is
+    FILTERED to one term before any shuffle — the predicate pushes to the
+    posting scan, so the joins move only matching postings, never the
+    corpus (the reason search engines store positions in the index rather
+    than re-scanning text). Stop-word-heavy phrases keep the hot term's
+    stream large; that is inherent to phrase search and still
+    corpus-linear. m−1 co-partitioned joins on the same (id, p) key =
+    one exchange per stream.
+    """
+    import re as _re
+
+    terms = [t for t in _re.split(r"\W+", phrase.lower()) if t]
+    if not terms:
+        raise ValueError("phrase has no tokens under the canonical tokenizer")
+    post = positional_postings(docs, id_col=id_col, text_col=text_col)
+    streams = [
+        post.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - F.lit(i)).alias("p")
+        )
+        for i, t in enumerate(terms)
+    ]
+    joined = streams[0]
+    for s in streams[1:]:
+        joined = joined.join(s, [id_col, "p"])
+    return joined.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))

@@ -730,3 +730,26 @@ def test_duplicate_spans_planted(spark):
         duplicate_spans(docs, span_tokens=1)
     with pytest.raises(ValueError):
         duplicate_spans(docs, min_df=1)
+
+
+def test_phrase_search_exact_and_overlapping(spark):
+    from pagerank_spark.pipeline.search import phrase_search, positional_postings
+
+    rows = [
+        (0, "spark shuffle hash join beats sort merge join"),
+        (1, "shuffle hash xyz join"),                      # not adjacent
+        (2, "a shuffle hash join and a shuffle hash join"),  # two matches
+        (3, "hash shuffle join"),                            # wrong order
+        (4, "aa aa aa aa"),                                  # overlapping
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(docs, "Shuffle, HASH join!").collect()}
+    assert got == {0: 1, 2: 2}
+    ov = {r["doc_id"]: r["n_matches"] for r in phrase_search(docs, "aa aa").collect()}
+    assert ov == {4: 3}
+    single = {r["doc_id"]: r["n_matches"] for r in phrase_search(docs, "join").collect()}
+    assert single == {0: 2, 1: 1, 2: 2, 3: 1}
+    assert positional_postings(docs).filter("doc_id = 4").count() == 4
+    with pytest.raises(ValueError):
+        phrase_search(docs, "!!!")

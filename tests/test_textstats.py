@@ -215,3 +215,47 @@ def test_pii_plan_is_map_only(spark):
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_node not in plan
     assert "Exchange" not in plan
+
+
+def test_unigram_surprisal_matches_python_lm(spark):
+    """Lidstone-smoothed corpus-unigram surprisal equals a python twin, and
+    the ordering matches intuition: a doc of corpus-hot tokens scores lower
+    than a doc of singletons."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from pagerank_spark.functions.textstats import unigram_surprisal
+
+    rows = [
+        (0, "the cat sat on the mat and the dog sat too"),
+        (1, "the the the the cat cat dog on and mat"),
+        (2, "zyxgrobble flumwort quizzacious brillig slithy toves"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_surprisal"])
+        for r in unigram_surprisal(docs).collect()
+    }
+
+    tok = lambda s: [t for t in _re.split(r"\W+", s.lower()) if t]
+    alltoks = [t for _, s in rows for t in tok(s)]
+    c = Counter(alltoks)
+    N, V, a = len(alltoks), len(c), 0.5
+    p = lambda t: (c[t] + a) / (N + a * (V + 1))
+    exp = {}
+    for d, s in rows:
+        ts = tok(s)
+        if ts:
+            exp[d] = (len(ts), -sum(math.log(p(t)) for t in ts) / len(ts))
+    assert set(got) == set(exp)  # empty doc dropped by the tokenizer
+    for d in exp:
+        assert got[d][0] == exp[d][0]
+        assert abs(got[d][1] - exp[d][1]) < 1e-12
+    assert got[1][1] < got[0][1] < got[2][1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        unigram_surprisal(docs, alpha=0.0)
