@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """At-scale smokes (not part of the per-round bench: minutes-long).
 
-Run:  python bench_smoke.py [triangles|ngram|labelprop|kcore|scc|hyperball|walks|all]
+Run:  python bench_smoke.py [triangles|ngram|labelprop|kcore|scc|hyperball|walks|ppr_batch|all]
 
 - triangles: exact triangle count at 10M vertices / 30M edges on local[32]
   (the hint gate flips to shuffle_hash joins here) — proves the
@@ -305,6 +305,48 @@ def smoke_walks(spark, n_vertices=4_000_000, n_edges=16_000_000, walk_length=4):
     }
 
 
+
+def smoke_ppr_batch(spark, n_vertices=2_000_000, n_edges=8_000_000, k_topics=8):
+    """Batched K-topic personalized PageRank vs K sequential runs at 2M
+    vertices / 8M edges (above the broadcast gate): the batch's win is
+    K-fold fewer edge-scan/shuffle stages per iteration. Records both wall
+    times and the speedup; asserts the batch actually beats sequential."""
+    from pagerank_spark.algorithms.linkanalysis import (
+        personalized_pagerank,
+        personalized_pagerank_batch,
+    )
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    e = synthetic_edges(spark, n_vertices, n_edges, seed=5).localCheckpoint(eager=True)
+    seeds = spark.createDataFrame(
+        [(f"t{k}", (k * 99991 + j * 1009) % n_vertices)
+         for k in range(k_topics) for j in range(10)],
+        "topic string, id long",
+    )
+    t0 = time.time()
+    batch = personalized_pagerank_batch(e, n_vertices, seeds, max_iter=3)
+    n_rows = batch.count()
+    t_batch = time.time() - t0
+
+    t0 = time.time()
+    tot = 0
+    for k in range(k_topics):
+        s1 = seeds.filter(F.col("topic") == f"t{k}").select("id")
+        tot += personalized_pagerank(e, n_vertices, s1, max_iter=3).count()
+    t_seq = time.time() - t0
+    assert n_rows == k_topics * n_vertices and tot == k_topics * n_vertices
+    assert t_batch < t_seq, (t_batch, t_seq)
+    return {
+        "smoke": "ppr_batch",
+        "n_vertices": n_vertices,
+        "n_edges": n_edges,
+        "k_topics": k_topics,
+        "batch_wall_s": round(t_batch, 1),
+        "sequential_wall_s": round(t_seq, 1),
+        "speedup": round(t_seq / t_batch, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from pagerank_spark.session import get_spark
@@ -323,6 +365,8 @@ def main() -> None:
         print(json.dumps(smoke_scc(spark)))
     if which in ("hyperball", "all"):
         print(json.dumps(smoke_hyperball(spark)))
+    if which in ("ppr_batch", "all"):
+        print(json.dumps(smoke_ppr_batch(spark)))
     if which in ("walks", "all"):
         print(json.dumps(smoke_walks(spark)))
     spark.stop()
