@@ -370,6 +370,63 @@ def cmd_cocite(args) -> int:
     return 0
 
 
+
+def cmd_bowtie(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.structure import bowtie
+
+    edges, _ = _load_edges(spark, args)
+    lab = bowtie(edges)
+    if args.output:
+        lab.write.mode("overwrite").parquet(args.output)
+    counts = {r["component"]: int(r["c"]) for r in
+              lab.groupBy("component").agg(F.count(F.lit(1)).alias("c")).collect()}
+    print(json.dumps({k: counts.get(k, 0) for k in
+                      ("CORE", "IN", "OUT", "TUBES", "TENDRILS", "DISCONNECTED")}))
+    return 0
+
+
+def cmd_adamic_adar(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.linkanalysis import adamic_adar
+
+    edges, _ = _load_edges(spark, args)
+    pairs = adamic_adar(
+        edges, min_common=args.min_common,
+        max_src_fanout=args.max_src_fanout, variant=args.variant,
+    )
+    if args.output:
+        pairs.write.mode("overwrite").parquet(args.output)
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("pairs"), F.max("score").alias("max_score")
+    ).first()
+    print(json.dumps({
+        "pairs": int(row["pairs"] or 0),
+        "max_score": round(float(row["max_score"] or 0.0), 6),
+    }))
+    return 0
+
+
+def cmd_graph_diff(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.graph.diff import degree_delta, edge_diff
+
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    d = edge_diff(old, new)
+    if args.output:
+        d.write.mode("overwrite").parquet(args.output)
+    by = {r["change"]: int(r["c"]) for r in
+          d.groupBy("change").agg(F.count(F.lit(1)).alias("c")).collect()}
+    moved = degree_delta(old, new).count()
+    print(json.dumps({
+        "added": by.get("added", 0),
+        "removed": by.get("removed", 0),
+        "vertices_degree_changed": int(moved),
+    }))
+    return 0
+
+
 def cmd_summary(args) -> int:
     spark = _spark(args)
     from pagerank_spark.algorithms.structure import graph_summary
@@ -510,6 +567,24 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--min-count", type=int, default=2)
     co.add_argument("--max-src-fanout", type=int, default=1000)
     co.set_defaults(fn=cmd_cocite)
+
+    bt = sub.add_parser("bowtie", help="Broder bow-tie decomposition")
+    graph_args(bt)
+    bt.set_defaults(fn=cmd_bowtie)
+
+    aa = sub.add_parser("adamic-adar", help="degree-weighted co-citation link prediction")
+    graph_args(aa)
+    aa.add_argument("--min-common", type=int, default=2)
+    aa.add_argument("--max-src-fanout", type=int, default=1000)
+    aa.add_argument("--variant", choices=["adamic_adar", "resource_allocation"],
+                    default="adamic_adar")
+    aa.set_defaults(fn=cmd_adamic_adar)
+
+    gd = sub.add_parser("graph-diff", help="edge/degree delta between two snapshots")
+    gd.add_argument("--old", required=True, help="old edges parquet dir")
+    gd.add_argument("--new", required=True, help="new edges parquet dir")
+    gd.add_argument("--output", default=None)
+    gd.set_defaults(fn=cmd_graph_diff)
 
     gs = sub.add_parser("summary", help="whole-graph summary stats")
     graph_args(gs)

@@ -226,3 +226,32 @@ def test_cli_salsa_and_spam_mass():
                 "--max-iter", "3", "--threshold", "0.99")
     assert r["n"] > 0 and 0.0 <= r["max_rel_mass"] <= 1.0
     assert 0 <= r["flagged"] <= r["n"]
+
+
+def test_cli_bowtie_adamic_adar_graph_diff(tmp_path):
+    """bowtie / adamic-adar / graph-diff drivable from the CLI; bowtie's
+    class counts on the golden acyclic graph contain no CORE > 1 (largest
+    SCC is a single vertex), adamic-adar pair count matches the co-citation
+    pair universe, and graph-diff reports a hand-built delta."""
+    gf = "/root/reference/Pagerank/src/test1.graph"
+
+    r = run_cli("bowtie", "--graph-file", gf)
+    assert sum(r.values()) == 2319
+    assert r["CORE"] == 1  # acyclic: every SCC is a singleton; min-id tie
+
+    r = run_cli("adamic-adar", "--graph-file", gf, "--max-src-fanout", "1000000")
+    assert r["pairs"] == 10950 and r["max_score"] > 0
+
+    import pyspark.sql  # noqa: F401  (session fixture not needed; build via CLI-less spark)
+    from pagerank_spark.session import get_spark
+
+    spark = get_spark("cli_diff_fixture", master="local[2]", shuffle_partitions=2)
+    old = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    new = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    po, pn = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(po)
+    new.write.parquet(pn)
+
+    r = run_cli("graph-diff", "--old", po, "--new", pn)
+    # vertex 0 keeps out=1/in=0 in both snapshots, so only 1, 2, 3 move
+    assert r == {"added": 1, "removed": 1, "vertices_degree_changed": 3}
