@@ -725,6 +725,7 @@ def adamic_adar(
     min_common: int = 2,
     max_src_fanout: int | None | str = "auto",
     variant: str = "adamic_adar",
+    materialize: bool = True,
 ) -> DataFrame:
     """Degree-weighted co-citation for link prediction: (a, b, n_common_src,
     score) where score = Σ over common sources s of w(outdeg(s)), with
@@ -784,8 +785,11 @@ def adamic_adar(
         )
         .filter(F.col("n_common_src") >= min_common)
     )
-    pairs = pairs.localCheckpoint(eager=True)
-    by_src.unpersist()
+    # materialize=False keeps the lazy plan for audits/composition and
+    # leaves by_src pinned for the caller to release (co_citation contract)
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
+        by_src.unpersist()
     return pairs
 
 

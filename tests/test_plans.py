@@ -545,3 +545,40 @@ def test_ppr_batch_iteration_single_exchange(spark):
     sh, _bc = _exchanges(_ppr_batch_iteration(ew, state, K, 0.85, zeros, ones, no_bcast))
     assert sh == 1, f"batched ppr iteration planned {sh} shuffle exchanges, want 1"
     ew.unpersist()
+
+
+def test_salted_top_k_two_exchanges(spark):
+    """The skew-safe per-key top-k plans exactly two shuffle exchanges —
+    hash(key, salt) for the shard stage and hash(key) for the re-rank —
+    regardless of k or salt count (no global sort anywhere)."""
+    from pagerank_spark.util import salted_top_k
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").alias("v"),
+        (F.col("id") * 37 % 1000).cast("double").alias("score"),
+    )
+    out = salted_top_k(
+        df, keys=["k"], order=[F.desc("score"), F.asc("v")], k=5,
+        salt_expr=F.xxhash64("v"), n_salts=8,
+    )
+    sh, _bc = _exchanges(out)
+    assert sh == 2, f"salted_top_k planned {sh} shuffle exchanges, want 2"
+    # and no global (RangePartitioning) sort in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_adamic_adar_reuses_src_exchange(spark):
+    """adamic_adar's degree agg, weight join, and both self-join sides all
+    consume ONE hash(src) repartition of the edges — same contract as
+    co_citation — so the whole pair plan costs the pair aggregation plus
+    that single up-front exchange."""
+    from pagerank_spark.algorithms.linkanalysis import adamic_adar
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    e = synthetic_edges(spark, 500, 5000, seed=3, num_partitions=4)
+    pairs = adamic_adar(e, min_common=1, max_src_fanout=None, materialize=False)
+    sh, _bc = _exchanges(pairs)
+    assert sh == 1, f"adamic_adar pair plan has {sh} shuffle exchanges, want 1"
+    assert pairs.count() > 0
