@@ -391,6 +391,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
         )
 
+    def host_features(spark, sf):
+        """Per-host link-spam signals (intra-host fraction, reciprocal
+        exchange fraction) over the id%50 host rollup."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import host_link_features
+
+        mapping = _verts(spark).select(
+            "id", (F.col("id") % N_HOSTS).cast("long").alias("group")
+        )
+        f = host_link_features(_edges(spark, sf), mapping)
+        return f.select(
+            "host",
+            "n_pages",
+            "n_outlinks",
+            F.round(F.col("intra_frac") * 1e6).cast("long").alias("intra_e6"),
+            "n_out_hosts",
+            F.round(F.col("reciprocal_frac") * 1e6).cast("long").alias("recip_e6"),
+        )
+
     def dedup_exact(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.pipeline.dedup import exact_dedup
@@ -1230,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_components": bowtie_components,
         "graph_stats": graph_stats,
         "host_pagerank": host_pagerank,
+        "host_features": host_features,
         "dedup_exact": dedup_exact,
         "dedup_paragraphs": dedup_paragraphs,
         "url_canonical": url_canonical,
@@ -2250,6 +2270,31 @@ SELECT COUNT(*) AS n_keys,
        CAST(ROUND(MAX(wt) / SUM(wt) * 1e6) AS BIGINT) AS top1_e6
 FROM per
 """
+    HOSTFEAT = f"""
+WITH e AS MATERIALIZED ({E}), v AS MATERIALIZED ({V}),
+m AS (SELECT id, id % {N_HOSTS} AS h FROM v),
+he AS (SELECT ms.h AS hsrc, md.h AS hdst
+       FROM e JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst),
+outs AS (SELECT hsrc AS host, COUNT(*) AS n_outlinks,
+         SUM(CASE WHEN hsrc = hdst THEN 1 ELSE 0 END) AS n_intra,
+         COUNT(DISTINCT CASE WHEN hsrc <> hdst THEN hdst END) AS n_out_hosts
+         FROM he GROUP BY hsrc),
+hp AS (SELECT DISTINCT hsrc AS a, hdst AS b FROM he WHERE hsrc <> hdst),
+rc AS (SELECT hp.a AS host, COUNT(*) AS n_recip FROM hp
+       WHERE EXISTS (SELECT 1 FROM hp r WHERE r.a = hp.b AND r.b = hp.a)
+       GROUP BY hp.a),
+pg AS (SELECT h AS host, COUNT(*) AS n_pages FROM m GROUP BY h)
+SELECT pg.host, pg.n_pages,
+       CAST(COALESCE(outs.n_outlinks, 0) AS BIGINT) AS n_outlinks,
+       CAST(ROUND(CASE WHEN COALESCE(outs.n_outlinks, 0) > 0
+            THEN CAST(COALESCE(outs.n_intra, 0) AS DOUBLE) / outs.n_outlinks
+            ELSE 0.0 END * 1e6) AS BIGINT) AS intra_e6,
+       CAST(COALESCE(outs.n_out_hosts, 0) AS BIGINT) AS n_out_hosts,
+       CAST(ROUND(CASE WHEN COALESCE(outs.n_out_hosts, 0) > 0
+            THEN CAST(COALESCE(rc.n_recip, 0) AS DOUBLE) / outs.n_out_hosts
+            ELSE 0.0 END * 1e6) AS BIGINT) AS recip_e6
+FROM pg LEFT JOIN outs ON outs.host = pg.host LEFT JOIN rc ON rc.host = pg.host
+"""
     # ---- whole-graph summary: reciprocity + out-in degree assortativity
     # (population-moment Pearson, same formula the Spark side uses)
     GSTATS = f"""
@@ -2363,6 +2408,7 @@ FROM c, rc, ag
         "scc_components": SCC,
         "bowtie_components": BOWTIE,
         "graph_stats": GSTATS,
+        "host_features": HOSTFEAT,
         "host_pagerank": HOSTPR,
         "dedup_exact": (
             "SELECT keep_id, COUNT(*) AS group_size FROM "

@@ -973,3 +973,88 @@ def personalized_pagerank_batch(
     return state.select(
         "id", F.expr(f"stack({K}, {stack_args}) AS (topic, rank)")
     ).select("topic", "id", "rank")
+
+
+def host_link_features(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Per-host link-spam / nepotism signals (the hand-feature family of
+    Fetterly et al. 2004 / Ntoulas et al. 2006, computed on link structure
+    alone): given page edges and a page→host ``mapping`` (id, group),
+    returns per host
+
+    - ``n_pages``: pages mapped to the host
+    - ``n_outlinks``: out-edges from the host's pages (parallel edges kept
+      — a 1000-link footer counts 1000 times, which is the signal)
+    - ``intra_frac``: fraction of those staying inside the host (navigation
+      vs endorsement; near-1.0 with high fanout marks link farms)
+    - ``n_out_hosts``: distinct other hosts linked
+    - ``reciprocal_frac``: fraction of linked hosts that link back (link
+      exchanges); 0.0 when the host links to no other host
+
+    Hosts with pages but no out-edges appear with zero counts (a parked
+    domain is a feature, not a missing row).
+
+    Plan: two size-gated mapping joins lift edges to host granularity
+    (contract_graph's shape); the per-host counts are one partial-agg
+    shuffle; reciprocity is a distinct host-pair self-semi-join — all
+    O(E)+O(hosts), no windows.
+    """
+    n_verts = _util.approx_vertex_count(edges)
+
+    def no_bcast(df: DataFrame) -> DataFrame:
+        return df if n_verts <= _util.BROADCAST_SAFE_ROWS else df.hint("shuffle_hash")
+
+    m_src = mapping.select(F.col("id").alias("src"), F.col("group").alias("hsrc"))
+    m_dst = mapping.select(F.col("id").alias("dst"), F.col("group").alias("hdst"))
+    he = (
+        edges.join(no_bcast(m_src), "src")
+        .join(no_bcast(m_dst), "dst")
+        .select("hsrc", "hdst")
+    )
+    outs = he.groupBy(F.col("hsrc").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_outlinks"),
+        F.sum(F.when(F.col("hsrc") == F.col("hdst"), 1).otherwise(0)).alias("n_intra"),
+        F.count_distinct(
+            F.when(F.col("hsrc") != F.col("hdst"), F.col("hdst"))
+        ).alias("n_out_hosts"),
+    )
+    hpair = (
+        he.filter(F.col("hsrc") != F.col("hdst"))
+        .select(F.col("hsrc").alias("a"), F.col("hdst").alias("b"))
+        .distinct()
+    )
+    recip = (
+        hpair.join(
+            no_bcast(hpair.select(F.col("b").alias("a"), F.col("a").alias("b"))),
+            ["a", "b"],
+            "left_semi",
+        )
+        .groupBy(F.col("a").alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_recip"))
+    )
+    pages = mapping.groupBy(F.col("group").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    return (
+        pages.join(no_bcast(outs), "host", "left")
+        .join(no_bcast(recip), "host", "left")
+        .select(
+            "host",
+            "n_pages",
+            F.coalesce("n_outlinks", F.lit(0)).alias("n_outlinks"),
+            F.when(
+                F.coalesce("n_outlinks", F.lit(0)) > 0,
+                F.coalesce("n_intra", F.lit(0))
+                / F.coalesce("n_outlinks", F.lit(0)).cast("double"),
+            )
+            .otherwise(0.0)
+            .alias("intra_frac"),
+            F.coalesce("n_out_hosts", F.lit(0)).alias("n_out_hosts"),
+            F.when(
+                F.coalesce("n_out_hosts", F.lit(0)) > 0,
+                F.coalesce("n_recip", F.lit(0))
+                / F.coalesce("n_out_hosts", F.lit(0)).cast("double"),
+            )
+            .otherwise(0.0)
+            .alias("reciprocal_frac"),
+        )
+    )

@@ -820,3 +820,43 @@ def test_ppr_seed_hygiene(spark):
     bad = spark.createDataFrame([(0,), (99,)], "id long")
     with pytest.raises(ValueError, match="outside"):
         personalized_pagerank(edges, n, bad, max_iter=1)
+
+
+def test_host_link_features_hand_computed(spark):
+    """Planted 3-host layout: a link farm (all intra + reciprocal exchange),
+    a normal host, and a parked host with no out-edges."""
+    from pagerank_spark.algorithms.linkanalysis import host_link_features
+
+    # hosts: farm = pages 0-3, normal = 4-5, parked = 6
+    mapping = spark.createDataFrame(
+        [(i, "farm") for i in range(4)]
+        + [(4, "normal"), (5, "normal"), (6, "parked")],
+        "id long, group string",
+    )
+    edges = spark.createDataFrame(
+        [
+            # farm: dense intra links + one exchange with normal
+            (0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (1, 3),
+            (0, 4),           # farm -> normal
+            (4, 0),           # normal -> farm (reciprocal)
+            (4, 5),           # normal intra
+            (5, 6),           # normal -> parked (not reciprocated)
+        ],
+        "src long, dst long",
+    )
+    got = {r["host"]: r for r in host_link_features(edges, mapping).collect()}
+    assert set(got) == {"farm", "normal", "parked"}
+
+    f = got["farm"]
+    assert f["n_pages"] == 4 and f["n_outlinks"] == 7
+    assert abs(f["intra_frac"] - 6 / 7) < 1e-12
+    assert f["n_out_hosts"] == 1 and f["reciprocal_frac"] == 1.0
+
+    n = got["normal"]
+    assert n["n_pages"] == 2 and n["n_outlinks"] == 3
+    assert abs(n["intra_frac"] - 1 / 3) < 1e-12
+    assert n["n_out_hosts"] == 2 and abs(n["reciprocal_frac"] - 0.5) < 1e-12
+
+    p = got["parked"]
+    assert p["n_pages"] == 1 and p["n_outlinks"] == 0
+    assert p["intra_frac"] == 0.0 and p["reciprocal_frac"] == 0.0
