@@ -957,6 +957,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         old, new = _snapshots(spark, sf)
         return degree_delta(old, new)
 
+    def dedup_span_removal(spark, sf):
+        """Span-removal rewrite: docs with cross-doc duplicated 8-token
+        windows cut out and reassembled."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.dedup import remove_duplicate_spans
+
+        return remove_duplicate_spans(_docs(spark, sf), span_tokens=8, min_df=2)
+
     def pagerank_movers(spark, sf):
         """Recrawl rank delta: 2-iteration PageRank on both snapshots,
         top-20 movers by |delta| (integer-e6 ordering so both engines
@@ -1279,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": token_budget_sample,
         "lang_sample": lang_sample,
         "dedup_spans": dedup_spans,
+        "dedup_span_removal": dedup_span_removal,
         "doc_surprisal": doc_surprisal,
         "search_phrase": search_phrase,
         "pagerank_movers": pagerank_movers,
@@ -1494,6 +1503,27 @@ s1 AS (SELECT id, pos - 1 AS p FROM ex WHERE term = 'join')
 SELECT s0.id AS doc_id, COUNT(*) AS n_matches
 FROM s0 JOIN s1 ON s1.id = s0.id AND s1.p = s0.p
 GROUP BY s0.id
+"""
+    SPANRM = f"""
+WITH toks AS (SELECT doc_id AS id, {TOKS} AS t FROM documents),
+w AS (SELECT id, t, CASE WHEN len(t) >= 8
+        THEN list_transform(range(1, len(t) - 6),
+             i -> array_to_string(list_slice(t, i, i + 7), ' '))
+        ELSE [] END AS wins
+      FROM toks WHERE len(t) > 0),
+ex AS (SELECT id, unnest(wins) AS wt, generate_subscripts(wins, 1) AS s FROM w),
+sdf AS (SELECT wt, COUNT(DISTINCT id) AS df FROM ex GROUP BY wt),
+st AS (SELECT ex.id, list(ex.s) AS starts FROM ex
+       JOIN sdf ON sdf.wt = ex.wt WHERE sdf.df >= 2 GROUP BY ex.id),
+j AS (SELECT w.id, w.t, COALESCE(st.starts, []) AS starts
+      FROM w LEFT JOIN st ON st.id = w.id),
+k AS (SELECT id, t, list_filter(t, (x, i) ->
+        len(list_filter(starts, s -> i >= s AND i < s + 8)) = 0) AS kept
+      FROM j)
+SELECT id AS doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(kept, ' '), '') AS text
+FROM k
 """
     NGRAM = f"""
 WITH toks AS (
@@ -2484,6 +2514,7 @@ FROM m
         ),
         "dedup_ngram_jaccard": NGRAM,
         "dedup_spans": SPANS,
+        "dedup_span_removal": SPANRM,
         "doc_surprisal": SURPRISAL,
         "search_phrase": PHRASE,
         "pagerank_movers": MOVERS,

@@ -911,3 +911,66 @@ def duplicate_span_table(
         .agg(F.count_distinct("id").alias("df"))
         .filter(F.col("df") >= min_df)
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal stage of span-level dedup (Lee et al. 2022 §3 "we remove
+    the duplicated substring"): every token position covered by ANY
+    cross-doc duplicated window (df >= min_df) is dropped, survivors are
+    reassembled in order. Overlapping hot windows merge naturally (a
+    position is dropped if any window covers it). Returns
+    (doc_id, n_tokens, n_removed, text) with ``text`` rebuilt from the
+    kept tokens (single-space joined — the canonical tokenizer already
+    collapsed whitespace/punctuation); docs with no hot window pass
+    through with n_removed = 0.
+
+    Plan: the duplicate_spans flag stage (explode + partial-agg shuffle +
+    semi-join) reduced to hot window STARTS per doc (collect_list of a
+    bounded-by-doc-length array), then a map-only rebuild: covered(pos) =
+    any start in [pos-L+1, pos] — evaluated with JVM higher-order
+    functions (exists/filter), no UDF. Nothing beyond the stats variant's
+    shuffles; the start lists live per-row, never on the driver.
+    """
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2")
+    L = int(span_tokens)
+    toks = token_arrays(docs, id_col=id_col, text_col=text_col)
+    wins = span_windows(docs, span_tokens, id_col, text_col)
+    ex = wins.select("id", F.posexplode("wins").alias("start", "w")).select(
+        "id", "start", F.md5("w").alias("h")
+    )
+    span_df = ex.groupBy("h").agg(F.count_distinct("id").alias("df"))
+    hot = span_df.filter(F.col("df") >= min_df).select("h")
+    from pagerank_spark import util as _util
+
+    if docs.count() > _util.BROADCAST_SAFE_ROWS:
+        hot = hot.hint("shuffle_hash")
+    starts = (
+        ex.join(hot, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("start").alias("starts"))
+    )
+    joined = toks.join(starts, "id", "left").select(
+        "id",
+        "toks",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda tok, pos: ~F.exists(
+            F.col("starts"),
+            lambda s: (s <= pos) & (pos < s + F.lit(L)),
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text"),
+    )

@@ -753,3 +753,50 @@ def test_phrase_search_exact_and_overlapping(spark):
     assert positional_postings(docs).filter("doc_id = 4").count() == 4
     with pytest.raises(ValueError):
         phrase_search(docs, "!!!")
+
+
+def test_remove_duplicate_spans_rebuild(spark):
+    """Removal twin: every token position covered by a cross-doc duplicated
+    window is dropped, overlapping windows merge, unique docs pass through
+    untouched."""
+    from pagerank_spark.pipeline.dedup import remove_duplicate_spans
+
+    boiler = "the quick brown fox jumps over the lazy sleeping dog"
+    uniq = lambda i: " ".join(f"u{i}w{j}" for j in range(10))
+    rows = [
+        (0, boiler + " " + uniq(0)),
+        (1, uniq(1) + " " + boiler),
+        (2, boiler + " " + boiler),
+        (3, uniq(3)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    L = 10
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text"])
+        for r in remove_duplicate_spans(docs, span_tokens=L).collect()
+    }
+
+    import re as _re
+    from collections import defaultdict
+
+    tok = lambda s: [t for t in _re.split(r"\W+", s.lower()) if t]
+    winmap = {}
+    for d, t in rows:
+        ts = tok(t)
+        winmap[d] = (ts, [" ".join(ts[i:i + L]) for i in range(len(ts) - L + 1)])
+    df = defaultdict(set)
+    for d, (_, ws) in winmap.items():
+        for w in ws:
+            df[w].add(d)
+    for d, (ts, ws) in winmap.items():
+        covered = set()
+        for i, w in enumerate(ws):
+            if len(df[w]) >= 2:
+                covered.update(range(i, i + L))
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        assert got[d] == (len(ts), len(ts) - len(kept), " ".join(kept)), d
+
+    # doc 3 (unique) untouched; boiler-only prefix of doc 0 removed
+    assert got[3][1] == 0 and got[3][2] == " ".join(tok(rows[3][1]))
+    assert got[0][1] == L and got[0][2] == uniq(0)
+    assert got[2][1] == 20 and got[2][2] == ""
