@@ -849,6 +849,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def knn_pq(spark, sf):
+        """Self-validating PQ+ADC recall row (codebooks aren't SQL): exact
+        re-rank means reported cosines are exact; the oracle pins the
+        >=0.9 recall bound at m=16/refine=16 (measured 1.0 at sf0.01 and sf0.001; deterministic seed)."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.similarity import brute_force_topk, pq_topk
+
+        emb = _emb(spark, sf)
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        approx = pq_topk(emb, q, k=K_NN, m_subspaces=16, ks=16, refine=16).select(
+            "query_id", "neighbor_id"
+        )
+        exact = brute_force_topk(emb, q, k=K_NN).select("query_id", "neighbor_id")
+        total = N_QUERIES * K_NN
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(N_QUERIES).cast("int").alias("n_queries"),
+                F.lit(K_NN).cast("int").alias("k"),
+                (F.col("n_hits") >= F.lit(-(-9 * total // 10)))
+                .cast("int")
+                .alias("recall_ge_090"),
+            )
+        )
+
     def lang_distribution(spark, sf):
         return (
             _docs(spark, sf)
@@ -1276,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
+        "knn_pq": knn_pq,
         "lang_distribution": lang_distribution,
         "token_counts": token_counts,
         "doc_quality": doc_quality,
@@ -2404,6 +2431,7 @@ FROM c, rc, ag
         "dedup_embedding_lsh": EMB_EXACT,
         "knn_lsh": KNN_LSH,
         "knn_ivf": KNN_IVF,
+        "knn_pq": KNN_IVF,
         "doc_langid": LANGID,
         "doc_fingerprints": FPRINT,
         "triangle_count_global": f"SELECT COUNT(*) AS n_triangles FROM ({TRI})",

@@ -800,3 +800,32 @@ def test_remove_duplicate_spans_rebuild(spark):
     assert got[3][1] == 0 and got[3][2] == " ".join(tok(rows[3][1]))
     assert got[0][1] == L and got[0][2] == uniq(0)
     assert got[2][1] == 20 and got[2][2] == ""
+
+
+def test_pq_topk_recall_and_determinism(spark, emb):
+    """PQ+ADC with exact re-rank: recall vs brute force at generous refine,
+    deterministic across runs, and the reported cosine is the EXACT value
+    (spot-checked vs numpy)."""
+    from pagerank_spark.pipeline.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = pq_topk(emb, queries, k=5, m_subspaces=8, ks=16, refine=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5
+    again = {(r["query_id"], r["neighbor_id"]) for r in
+             pq_topk(emb, queries, k=5, m_subspaces=8, ks=16, refine=8).collect()}
+    assert again == approx_set
+
+    # exact cosine on the reported rows
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(list(r["embedding"]), dtype=np.float64) for r in rows}
+    for r in approx[:10]:
+        q, n = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        cos = float(q @ n / (np.linalg.norm(q) * np.linalg.norm(n)))
+        assert abs(r["cosine"] - cos) < 1e-9
+
+    with pytest.raises(ValueError):
+        pq_topk(emb, queries, ks=1000)
