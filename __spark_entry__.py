@@ -1067,6 +1067,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("mean_surprisal") * 1e6).cast("long").alias("surprisal_e6"),
         )
 
+    def corpus_c4_clean(spark, sf):
+        """C4 line filter over deterministic multi-line composites (the
+        synthetic docs carry no newlines): line 1 keeps, line 2 lacks
+        terminal punctuation, line 3 plants the javascript marker, line 4
+        keeps when long enough."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.curation import c4_line_filter
+
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 80), F.lit(".\n"),
+                F.substring("text", 81, 20), F.lit("\n"),
+                F.lit("Enable JavaScript "), F.substring("text", 101, 40),
+                F.lit(".\n"),
+                F.substring("text", 141, 60), F.lit("."),
+            ).alias("text"),
+        )
+        return c4_line_filter(d)
+
     def dedup_spans(spark, sf):
         """Span-level duplication stats (8-token fingerprint windows,
         cross-doc df >= 2), Lee-et-al-2022 style."""
@@ -1314,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": token_budget_sample,
         "lang_sample": lang_sample,
         "dedup_spans": dedup_spans,
+        "corpus_c4_clean": corpus_c4_clean,
         "dedup_span_removal": dedup_span_removal,
         "doc_surprisal": doc_surprisal,
         "search_phrase": search_phrase,
@@ -1550,6 +1571,25 @@ k AS (SELECT id, t, list_filter(t, (x, i) ->
 SELECT id AS doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
        CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
        COALESCE(array_to_string(kept, ' '), '') AS text
+FROM k
+"""
+    C4CLEAN = """
+WITH d AS (SELECT doc_id,
+  substr(text, 1, 80) || '.' || chr(10) || substr(text, 81, 20) || chr(10)
+  || 'Enable JavaScript ' || substr(text, 101, 40) || '.' || chr(10)
+  || substr(text, 141, 60) || '.' AS text FROM documents),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+k AS (SELECT doc_id, lines, list_filter(lines, x ->
+        regexp_matches(trim(x), '[.!?"]$')
+        AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                            w -> w <> '')) >= 5
+        AND NOT contains(lower(trim(x)), 'javascript')
+        AND NOT contains(lower(trim(x)), 'lorem ipsum')
+        AND NOT contains(lower(trim(x)), '{')) AS kept
+      FROM l)
+SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       COALESCE(array_to_string(kept, chr(10)), '') AS text
 FROM k
 """
     NGRAM = f"""
@@ -2542,6 +2582,7 @@ FROM m
         ),
         "dedup_ngram_jaccard": NGRAM,
         "dedup_spans": SPANS,
+        "corpus_c4_clean": C4CLEAN,
         "dedup_span_removal": SPANRM,
         "doc_surprisal": SURPRISAL,
         "search_phrase": PHRASE,

@@ -287,3 +287,47 @@ def source_diversity(
         (F.sum(F.col("wt") * F.col("wt")) / (F.sum("wt") * F.sum("wt"))).alias("hhi"),
         (F.max("wt") / F.sum("wt")).alias("top1_share"),
     )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation (. ! ? or a closing double
+    quote), have >= ``min_words`` whitespace-separated words, and contain
+    none of the boilerplate markers (case-insensitive "javascript",
+    "lorem ipsum", or a curly brace — the code/placeholder tells).
+
+    Returns (doc_id, n_lines, n_kept, text) with ``text`` rebuilt from the
+    kept lines (newline-joined; empty string when nothing survives). The
+    caller drops docs below its sentence threshold — kept separate because
+    C4 applies that at the page level.
+
+    Entirely JVM higher-order Column functions over split('\\n') — one
+    map-only pass, no shuffle, no UDF; every predicate is in the Java∩RE2
+    regex dialect so the DuckDB oracle runs the identical patterns.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line):
+        t = F.trim(line)
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        low = F.lower(t)
+        return (
+            t.rlike('[.!?"]$')
+            & (words >= min_words)
+            & ~low.contains("javascript")
+            & ~low.contains("lorem ipsum")
+            & ~low.contains("{")
+        )
+
+    kept = F.filter(lines, keep)
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.concat_ws("\n", kept).alias("text"),
+    )

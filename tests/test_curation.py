@@ -212,3 +212,29 @@ def test_source_diversity_hand_computed(spark):
     exp = (wa / tot) ** 2 + (wb / tot) ** 2 + (wc / tot) ** 2
     assert abs(rw["hhi"] - exp) < 1e-12
     assert abs(rw["top1_share"] - max(wa, wb, wc) / tot) < 1e-12
+
+
+def test_c4_line_filter_rules(spark):
+    from pagerank_spark.pipeline.curation import c4_line_filter
+
+    good = "this line has enough words and ends properly."
+    rows = [
+        (0, "\n".join([
+            good,
+            "short line.",                                   # < 5 words
+            "no terminal punctuation here at all",           # no punct
+            "enable JavaScript to view the full content.",   # marker
+            "lorem ipsum dolor sit amet consectetur elit.",  # marker
+            "function() { return the thing now please; }",   # brace
+            'he said "this quoted line has enough words."',  # quote end ok
+        ])),
+        (1, good),
+        (2, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["text"])
+           for r in c4_line_filter(docs).collect()}
+    assert got[0][0] == 7 and got[0][1] == 2
+    assert got[0][2] == good + "\n" + 'he said "this quoted line has enough words."'
+    assert got[1] == (1, 1, good)
+    assert got[2] == (1, 0, "")
