@@ -703,6 +703,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rank",
         )
 
+    def search_bm25f(spark, sf):
+        """Fielded BM25 (body w=1, synthesized title w=2) top-15; integer
+        weights keep every weighted sum exact in doubles."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.search import bm25f_topk
+
+        d = _docs(spark, sf)
+        fields = d.select(
+            "doc_id", F.lit("body").alias("field"), F.col("text")
+        ).unionByName(
+            d.select(
+                "doc_id",
+                F.lit("title").alias("field"),
+                F.concat(F.substring("text", 1, 60), F.lit(".")).alias("text"),
+            )
+        )
+        top = bm25f_topk(fields, BM25_QUERY, {"body": 1.0, "title": 2.0}, k=15)
+        return top.select(
+            "doc_id",
+            F.round(F.col("score") * 1e6).cast("long").alias("score_e6"),
+            "rank",
+        )
+
     def contamination_screen(spark, sf):
         """Benchmark-decontamination screen: every 25th document doubles as
         a planted 'benchmark' item, so those docs must flag at overlap 1.0
@@ -1314,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram,
         "dedup_minhash_lsh": dedup_minhash,
         "search_bm25": search_bm25,
+        "search_bm25f": search_bm25f,
         "contamination_screen": contamination_screen,
         "dedup_canonical": dedup_canonical,
         "dedup_simhash": dedup_simhash,
@@ -1654,6 +1678,37 @@ ranked AS (SELECT doc_id, score,
            ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
 SELECT doc_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6, rank
 FROM ranked WHERE rank <= 20
+"""
+    BM25F = f"""
+WITH f AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) AS w, text FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(2.0 AS DOUBLE) AS w, substr(text, 1, 60) || '.' FROM documents
+),
+toks AS (SELECT doc_id, w, {TOKS} AS t FROM f),
+wdl AS (SELECT doc_id, SUM(w * len(t)) AS wdl FROM toks
+        GROUP BY doc_id HAVING SUM(w * len(t)) > 0),
+corpus AS (SELECT COUNT(*) AS n, SUM(wdl) / COUNT(*) AS avgwdl FROM wdl),
+post AS (SELECT doc_id, w, unnest(t) AS term FROM toks),
+hits AS (SELECT doc_id, term, SUM(w) AS wtf FROM post
+         WHERE term IN ({_qin}) GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+per_term AS (
+  SELECT h.doc_id, h.term,
+         ln(1.0 + (CAST(c.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+         * (h.wtf * {_K1 + 1.0!r})
+         / (h.wtf + {_K1!r} * ({1.0 - _B!r} + {_B!r} * wd.wdl / c.avgwdl)) AS s
+  FROM hits h JOIN dfreq d ON d.term = h.term
+  JOIN wdl wd ON wd.doc_id = h.doc_id CROSS JOIN corpus c
+),
+pv AS (SELECT doc_id,
+{_sterms}
+  FROM per_term GROUP BY doc_id),
+scored AS (SELECT doc_id, {_ssum} AS score FROM pv),
+ranked AS (SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+SELECT doc_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6, rank
+FROM ranked WHERE rank <= 15
 """
     # ---- contamination screen: n=8 shingles both sides, pooled benchmark
     # shingle set = docs with doc_id % 25 == 0 (the planted benchmark the
@@ -2590,6 +2645,7 @@ FROM m
         "corpus_lang_stats": LANGSTATS,
         "corpus_diversity": DIVERSITY,
         "search_bm25": BM25,
+        "search_bm25f": BM25F,
         "contamination_screen": CONTAM,
         "dedup_minhash_lsh": MINHASH,
         "dedup_canonical": CANON,

@@ -166,3 +166,119 @@ def phrase_search(
     for s in streams[1:]:
         joined = joined.join(s, [id_col, "p"])
     return joined.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def bm25f_topk(
+    fields: DataFrame,
+    query: str,
+    field_weights: dict[str, float],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    field_col: str = "field",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fielded BM25 (the simple BM25F of Robertson/Zaragoza 2009 §2.4):
+    rank docs whose content lives in weighted fields — body text, title,
+    and crucially the aggregated ANCHOR TEXT of in-links, the strongest
+    web-retrieval field. ``fields`` is long-format (doc_id, field, text);
+    term frequencies and doc lengths combine per doc as w_f-weighted sums
+    BEFORE one shared saturation::
+
+        wtf(t,d) = Σ_f w_f · tf_{t,d,f}      wdl(d) = Σ_f w_f · dl_{d,f}
+        score    = Σ_t idf(t) · wtf·(k1+1) / (wtf + k1·(1−b+b·wdl/avgwdl))
+
+    (weighting INSIDE the saturation is what distinguishes BM25F from
+    naively summing per-field BM25 scores — a term stuffed into every
+    field still saturates once). idf uses presence in any field.
+
+    Determinism note: with integer-valued weights every wtf/wdl sum is
+    exact in doubles regardless of partition order (integers < 2^53 add
+    associatively), so the DuckDB oracle matches bit-for-bit; fractional
+    weights are supported but order-noise then lands in the last bits
+    (covered by the e6 rounding convention). Same physical shape as
+    bm25_topk: query-term semi-join before any shuffle, fixed-order
+    cross-term sum, TakeOrdered top-k.
+    """
+    import re as _re
+
+    q_terms = sorted({t for t in _re.split(r"\W+", query.lower()) if t})
+    if not q_terms:
+        raise ValueError("bm25f_topk needs a query with at least one token")
+    if not field_weights:
+        raise ValueError("field_weights must be non-empty")
+
+    from pagerank_spark.util import widen_partitions
+
+    w_expr = None
+    for name, w in sorted(field_weights.items()):
+        cond = F.col(field_col) == name
+        w_expr = (
+            F.when(cond, float(w)) if w_expr is None else w_expr.when(cond, float(w))
+        )
+    base = (
+        widen_partitions(fields.select(id_col, field_col, text_col))
+        .filter(F.col(field_col).isin(list(field_weights)))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            w_expr.alias("w"),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+            ).alias("toks"),
+        )
+    )
+    wdl = (
+        base.groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.size("toks")).alias("wdl"))
+        .filter(F.col("wdl") > 0)
+        .localCheckpoint(eager=True)
+    )
+    stats = wdl.agg(F.count(F.lit(1)).alias("n"), F.sum("wdl").alias("t")).first()
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        return fields.sparkSession.createDataFrame(
+            [], "doc_id long, score double, rank int"
+        )
+    avgwdl = float(stats["t"]) / n_docs
+
+    hits = (
+        base.select("doc_id", "w", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.sum("w").alias("wtf"))
+    )
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    per_term = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(wdl, "doc_id")
+        .withColumn(
+            "s",
+            idf
+            * (F.col("wtf") * F.lit(k1 + 1.0))
+            / (
+                F.col("wtf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("wdl") / F.lit(avgwdl))
+            ),
+        )
+    )
+    pivoted = per_term.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{i}")
+            for i, t in enumerate(q_terms)
+        ]
+    )
+    score = F.coalesce(F.col("s_0"), F.lit(0.0))
+    for i in range(1, len(q_terms)):
+        score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    scored = pivoted.select("doc_id", score.alias("score"))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
+    )

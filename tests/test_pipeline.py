@@ -829,3 +829,67 @@ def test_pq_topk_recall_and_determinism(spark, emb):
 
     with pytest.raises(ValueError):
         pq_topk(emb, queries, ks=1000)
+
+
+def test_bm25f_matches_python_twin_and_field_weighting(spark):
+    """BM25F python twin on a hand corpus; a title hit outweighs the same
+    hit in the body under title weight 3; degenerates to plain BM25 when
+    only one unit-weight field exists."""
+    import math
+    import re as _re
+
+    from pagerank_spark.pipeline.search import bm25f_topk, bm25_topk
+
+    rows = [
+        (0, "title", "spark shuffle guide"),
+        (0, "body", "a long body about joins and aggregation over rows"),
+        (1, "title", "cooking recipes"),
+        (1, "body", "spark shuffle appears here in the body text only once"),
+        (2, "title", "unrelated"),
+        (2, "body", "nothing relevant whatsoever in this document at all"),
+    ]
+    fields = spark.createDataFrame(rows, "doc_id long, field string, text string")
+    weights = {"title": 3.0, "body": 1.0}
+    got = {r["doc_id"]: r["score"]
+           for r in bm25f_topk(fields, "spark shuffle", weights, k=10).collect()}
+
+    tok = lambda s: [t for t in _re.split(r"\W+", s.lower()) if t]
+    q = sorted({"spark", "shuffle"})
+    docs = {0: {}, 1: {}, 2: {}}
+    for d, f, t in rows:
+        docs[d][f] = tok(t)
+    wtf = {d: {t: sum(weights[f] * fl.count(t) for f, fl in flds.items()) for t in q}
+           for d, flds in docs.items()}
+    wdl = {d: sum(weights[f] * len(fl) for f, fl in flds.items()) for d, flds in docs.items()}
+    n = len(docs)
+    avg = sum(wdl.values()) / n
+    dfq = {t: sum(1 for d in docs if wtf[d][t] > 0) for t in q}
+    exp = {}
+    for d in docs:
+        s = 0.0
+        for t in q:
+            if wtf[d][t] == 0:
+                continue
+            idf = math.log(1.0 + (n - dfq[t] + 0.5) / (dfq[t] + 0.5))
+            s += idf * (wtf[d][t] * 2.2) / (wtf[d][t] + 1.2 * (0.25 + 0.75 * wdl[d] / avg))
+        if s > 0:
+            exp[d] = s
+    assert set(got) == set(exp)
+    for d in exp:
+        assert abs(got[d] - exp[d]) < 1e-12
+    assert got[0] > got[1]  # title hit beats body hit
+
+    # single unit-weight field == plain BM25
+    body_only = fields.filter(F.col("field") == "body")
+    f1 = {r["doc_id"]: r["score"]
+          for r in bm25f_topk(body_only, "spark shuffle", {"body": 1.0}).collect()}
+    plain = {r["doc_id"]: r["score"]
+             for r in bm25_topk(body_only.select("doc_id", "text"), "spark shuffle").collect()}
+    assert set(f1) == set(plain)
+    for d in f1:
+        assert abs(f1[d] - plain[d]) < 1e-12
+
+    with pytest.raises(ValueError):
+        bm25f_topk(fields, "!!!", weights)
+    with pytest.raises(ValueError):
+        bm25f_topk(fields, "spark", {})
