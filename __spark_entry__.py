@@ -933,6 +933,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", language_id("text").alias("lang_detected")
         )
 
+    def langid_confusion(spark, sf):
+        """Language-ID evaluation: confusion counts of labeled lang vs the
+        n-gram-heuristic prediction."""
+        _spark_ready(spark)
+        from pagerank_spark.functions.textstats import language_id
+
+        d = _docs(spark, sf)
+        return (
+            d.select("lang", language_id("text").alias("lang_detected"))
+            .groupBy("lang", "lang_detected")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
     def doc_fingerprints(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.functions.textstats import document_fingerprints
@@ -1225,6 +1238,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fetch_order",
         )
 
+    def user_retention(spark, sf):
+        """Weekly retention triangle over the event stream (cohort week as
+        ISO-Monday date string for timezone-proof hashing)."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.sessions import retention_cohorts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        r = retention_cohorts(ev)
+        return r.select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "age_weeks",
+            "n_users",
+        )
+
     def user_sessions(spark, sf):
         """Gap-based sessionization of the event stream (6h inactivity
         gap). Timestamps leave as exact unix microseconds so the compare
@@ -1351,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "doc_quality": doc_quality,
         "doc_langid": doc_langid,
+        "langid_confusion": langid_confusion,
         "doc_fingerprints": doc_fingerprints,
         "doc_repetition": doc_repetition,
         "corpus_gopher_filter": corpus_gopher_filter,
@@ -1372,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii": doc_pii,
         "user_event_stats": user_event_stats,
         "crawl_schedule": crawl_schedule,
+        "user_retention": user_retention,
         "user_sessions": user_sessions,
         "windowed_event_stats": windowed_event_stats,
         "media_features": media_features,
@@ -1756,6 +1785,16 @@ s AS (SELECT doc_id,
       FROM t)
 SELECT doc_id, CASE WHEN {gmax} = 0 THEN 'und' {lang_cases} ELSE 'und' END AS lang_detected
 FROM s
+"""
+    LANGCONF = f"""
+WITH t AS (SELECT doc_id, lang, list_distinct({TOKS}) AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+      {', '.join(f'len(list_intersect(toks, {_sw(la)})) AS s_{la}' for la in langs)}
+      FROM t),
+p AS (SELECT lang,
+      CASE WHEN {gmax} = 0 THEN 'und' {lang_cases} ELSE 'und' END AS lang_detected
+      FROM s)
+SELECT lang, lang_detected, COUNT(*) AS n_docs FROM p GROUP BY lang, lang_detected
 """
     # ---- document fingerprints: min over 8-codepoint windows of the
     # base-257 mod-(2^61-1) polynomial hash (textstats.fingerprint_udf),
@@ -2528,6 +2567,7 @@ FROM c, rc, ag
         "knn_ivf": KNN_IVF,
         "knn_pq": KNN_IVF,
         "doc_langid": LANGID,
+        "langid_confusion": LANGCONF,
         "doc_fingerprints": FPRINT,
         "triangle_count_global": f"SELECT COUNT(*) AS n_triangles FROM ({TRI})",
         "triangles_per_vertex": (
@@ -2894,6 +2934,15 @@ rk AS (
   FROM pri)
 SELECT host, url, CAST(ROUND(priority * 1e6) AS BIGINT) AS priority_e6, fetch_order
 FROM rk WHERE fetch_order <= 5
+""",
+        "user_retention": """
+WITH uw AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+f AS (SELECT u, MIN(week) AS cohort_week FROM uw GROUP BY u)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(DATEDIFF('day', f.cohort_week, uw.week) / 7 AS INTEGER) AS age_weeks,
+       COUNT(DISTINCT uw.u) AS n_users
+FROM uw JOIN f ON f.u = uw.u
+GROUP BY 1, 2
 """,
         "user_sessions": """
 WITH t AS (

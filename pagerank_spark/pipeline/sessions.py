@@ -74,3 +74,33 @@ def session_stats(
         F.max(ts_col).alias("end_ts"),
         (_us(F.max(ts_col)) - _us(F.min(ts_col))).alias("duration_us"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-active ISO week
+    (their cohort), counted in every later week they return —
+    (cohort_week: date, age_weeks: int, n_users) with age 0 = the cohort's
+    own size. The standard activity-retention report over an event stream.
+
+    Plan: distinct (user, week) pairs (one shuffle with partial distinct),
+    a per-user min-week aggregate (co-partitioned on user), and the final
+    cohort/age count — no windows, no driver state; weeks truncate to ISO
+    Monday identically in Spark and DuckDB so the oracle is exact.
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    uw = events.select(F.col(user_col).alias("u"), wk.alias("week")).distinct()
+    first = uw.groupBy("u").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(first, "u")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("age_weeks"),
+        )
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

@@ -893,3 +893,27 @@ def test_bm25f_matches_python_twin_and_field_weighting(spark):
         bm25f_topk(fields, "!!!", weights)
     with pytest.raises(ValueError):
         bm25f_topk(fields, "spark", {})
+
+
+def test_retention_cohorts_hand_computed(spark):
+    import datetime as dt
+
+    from pagerank_spark.pipeline.sessions import retention_cohorts
+
+    # week of 2026-01-05 (Mon) and following weeks
+    mk = lambda d, h=12: dt.datetime(2026, 1, d, h)
+    rows = [
+        (1, mk(5)), (1, mk(6)),           # u1 cohort w0, active w0 twice
+        (1, mk(13)),                      # u1 returns w1
+        (2, mk(7)),                       # u2 cohort w0, never returns
+        (3, mk(14)), (3, mk(26)),         # u3 cohort w1, returns w3
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r["cohort_week"]), r["age_weeks"]): r["n_users"]
+           for r in retention_cohorts(ev).collect()}
+    assert got == {
+        ("2026-01-05", 0): 2,   # u1, u2
+        ("2026-01-05", 1): 1,   # u1
+        ("2026-01-12", 0): 1,   # u3
+        ("2026-01-12", 2): 1,   # u3 (w of jan 26 = age 2)
+    }
