@@ -1027,6 +1027,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return remove_duplicate_spans(_docs(spark, sf), span_tokens=8, min_df=2)
 
+    def host_boilerplate(spark, sf):
+        """Per-site template spans (8-token windows in >= 3 docs of one
+        source)."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.dedup import host_boilerplate_spans
+
+        return host_boilerplate_spans(
+            _docs(spark, sf), host_col="source", span_tokens=8, min_df=3
+        )
+
     def pagerank_movers(spark, sf):
         """Recrawl rank delta: 2-iteration PageRank on both snapshots,
         top-20 movers by |delta| (integer-e6 ordering so both engines
@@ -1388,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans,
         "corpus_c4_clean": corpus_c4_clean,
         "dedup_span_removal": dedup_span_removal,
+        "host_boilerplate": host_boilerplate,
         "doc_surprisal": doc_surprisal,
         "search_phrase": search_phrase,
         "pagerank_movers": pagerank_movers,
@@ -1644,6 +1655,17 @@ SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
        CAST(len(kept) AS BIGINT) AS n_kept,
        COALESCE(array_to_string(kept, chr(10)), '') AS text
 FROM k
+"""
+    HOSTBP = f"""
+WITH toks AS (SELECT doc_id AS id, source AS host, {TOKS} AS t FROM documents),
+w AS (SELECT id, host, CASE WHEN len(t) >= 8
+        THEN list_transform(range(1, len(t) - 6),
+             i -> array_to_string(list_slice(t, i, i + 7), ' '))
+        ELSE [] END AS wins
+      FROM toks WHERE len(t) > 0),
+ex AS (SELECT host, id, unnest(wins) AS span FROM w)
+SELECT host, span, COUNT(DISTINCT id) AS df FROM ex
+GROUP BY host, span HAVING COUNT(DISTINCT id) >= 3
 """
     NGRAM = f"""
 WITH toks AS (
@@ -2679,6 +2701,7 @@ FROM m
         "dedup_spans": SPANS,
         "corpus_c4_clean": C4CLEAN,
         "dedup_span_removal": SPANRM,
+        "host_boilerplate": HOSTBP,
         "doc_surprisal": SURPRISAL,
         "search_phrase": PHRASE,
         "pagerank_movers": MOVERS,

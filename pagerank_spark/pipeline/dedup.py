@@ -974,3 +974,41 @@ def remove_duplicate_spans(
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("text"),
     )
+
+
+def host_boilerplate_spans(
+    docs: DataFrame,
+    host_col: str = "source",
+    span_tokens: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Site-template mining: (host, span, df) for every exact
+    ``span_tokens``-token window occurring in >= ``min_df`` distinct docs
+    OF THE SAME host — the per-site boilerplate (nav bars, footers, legal
+    blurbs) that a template-removal pass strips before dedup/quality
+    scoring ever sees it. Cross-host duplicated content (syndication,
+    quotes) deliberately does NOT trip this: the count is keyed by
+    (host, span).
+
+    Same corpus-linear shape as duplicate_span_table with the host riding
+    the explode; the (host, span) aggregation gets map-side partials, so a
+    million-page site's footer combines before the shuffle.
+    """
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2")
+    wins = span_windows(
+        docs.select(id_col, host_col, text_col), span_tokens, id_col, text_col
+    )
+    hosts = docs.select(F.col(id_col).alias("id"), F.col(host_col).alias("host"))
+    from pagerank_spark import util as _util
+
+    if docs.count() > _util.BROADCAST_SAFE_ROWS:
+        hosts = hosts.hint("shuffle_hash")
+    ex = wins.join(hosts, "id").select("host", "id", F.explode("wins").alias("span"))
+    return (
+        ex.groupBy("host", "span")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )

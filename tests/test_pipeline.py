@@ -917,3 +917,23 @@ def test_retention_cohorts_hand_computed(spark):
         ("2026-01-12", 0): 1,   # u3
         ("2026-01-12", 2): 1,   # u3 (w of jan 26 = age 2)
     }
+
+
+def test_host_boilerplate_spans_keyed_by_host(spark):
+    """A footer shared by two docs of host A is flagged for A only; the
+    same text appearing once on host B does not flag B (cross-host
+    syndication is not a site template)."""
+    from pagerank_spark.pipeline.dedup import host_boilerplate_spans
+
+    footer = "copyright two thousand twenty six all rights reserved worldwide inc"
+    uniq = lambda i: " ".join(f"u{i}w{j}" for j in range(10))
+    rows = [
+        (0, "a.com", uniq(0) + " " + footer),
+        (1, "a.com", uniq(1) + " " + footer),
+        (2, "b.com", uniq(2) + " " + footer),   # only once on b.com
+        (3, "b.com", uniq(3)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["host"], r["span"]): r["df"]
+           for r in host_boilerplate_spans(docs, span_tokens=10).collect()}
+    assert got == {("a.com", footer): 2}
