@@ -361,6 +361,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bowtie(_edges(spark, sf), _verts(spark))
 
+    def degree_powerlaw_q(spark, sf):
+        """CSN discrete power-law MLE over in-degrees (xmin=3 on the small
+        driver graph)."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.structure import degree_powerlaw
+
+        r = degree_powerlaw(_edges(spark, sf), xmin=3, which="in")
+        return r.select(
+            "n_tail", F.round(F.col("alpha") * 1e6).cast("long").alias("alpha_e6")
+        )
+
     def graph_stats(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.algorithms.structure import graph_summary
@@ -1362,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_components": scc_components,
         "bowtie_components": bowtie_components,
         "graph_stats": graph_stats,
+        "degree_powerlaw": degree_powerlaw_q,
         "host_pagerank": host_pagerank,
         "host_features": host_features,
         "dedup_exact": dedup_exact,
@@ -2508,6 +2520,14 @@ SELECT pg.host, pg.n_pages,
             ELSE 0.0 END * 1e6) AS BIGINT) AS recip_e6
 FROM pg LEFT JOIN outs ON outs.host = pg.host LEFT JOIN rc ON rc.host = pg.host
 """
+    POWERLAW = f"""
+WITH e AS (SELECT src, dst FROM ({E}) WHERE src <> dst),
+deg AS (SELECT dst AS id, COUNT(*) AS k FROM e GROUP BY dst),
+tail AS (SELECT k FROM deg WHERE k >= 3)
+SELECT COUNT(*) AS n_tail,
+       CAST(ROUND((1.0 + COUNT(*) / SUM(LN(k / 2.5))) * 1e6) AS BIGINT) AS alpha_e6
+FROM tail
+"""
     # ---- whole-graph summary: reciprocity + out-in degree assortativity
     # (population-moment Pearson, same formula the Spark side uses)
     GSTATS = f"""
@@ -2623,6 +2643,7 @@ FROM c, rc, ag
         "scc_components": SCC,
         "bowtie_components": BOWTIE,
         "graph_stats": GSTATS,
+        "degree_powerlaw": POWERLAW,
         "host_features": HOSTFEAT,
         "host_pagerank": HOSTPR,
         "dedup_exact": (

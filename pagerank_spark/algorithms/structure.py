@@ -619,3 +619,49 @@ def bowtie(
     labeled = labeled.localCheckpoint(eager=True)
     e.unpersist()
     return labeled
+
+
+def degree_powerlaw(
+    edges: DataFrame,
+    xmin: int = 5,
+    which: str = "in",
+) -> DataFrame:
+    """Discrete power-law exponent for the degree distribution by the
+    Clauset/Shalizi/Newman (2009) continuous-approximation MLE at a fixed
+    tail cutoff::
+
+        alpha = 1 + n_tail / Σ_{k >= xmin} ln(k / (xmin − 0.5))
+
+    Web in-degrees are the textbook alpha≈2.1 power law (Broder 2000);
+    this one-row report is the health check that a crawl's link graph
+    still looks like the web (a link-farm-dominated or truncated crawl
+    shifts alpha visibly). ``which``: 'in', 'out', or 'total' degrees over
+    the distinct nonloop edge set.
+
+    One degree aggregation + one tail aggregate — two partial-agg
+    shuffles, scale-free. Returns (n_tail, alpha) with alpha NULL when no
+    vertex reaches the cutoff.
+    """
+    if which not in ("in", "out", "total"):
+        raise ValueError(f"which must be in/out/total, got {which!r}")
+    if xmin < 1:
+        raise ValueError("xmin must be >= 1")
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    if which == "in":
+        ends = e.select(F.col("dst").alias("id"))
+    elif which == "out":
+        ends = e.select(F.col("src").alias("id"))
+    else:
+        ends = e.select(F.col("src").alias("id")).union(
+            e.select(F.col("dst").alias("id"))
+        )
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("k"))
+    tail = deg.filter(F.col("k") >= xmin)
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        (
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("k") / F.lit(xmin - 0.5)))
+        ).alias("alpha"),
+    )

@@ -860,3 +860,31 @@ def test_host_link_features_hand_computed(spark):
     p = got["parked"]
     assert p["n_pages"] == 1 and p["n_outlinks"] == 0
     assert p["intra_frac"] == 0.0 and p["reciprocal_frac"] == 0.0
+
+
+def test_degree_powerlaw_mle(spark):
+    """MLE twin on a hand-built degree multiset + recovery of a planted
+    exponent on a synthetic zipfian graph."""
+    import math
+
+    from pagerank_spark.algorithms.structure import degree_powerlaw
+
+    # hand graph: in-degrees 6, 5, 1 (below cutoff)
+    rows = [(s, 100) for s in range(6)] + [(s, 101) for s in range(10, 15)] + [(0, 102)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    r = degree_powerlaw(e, xmin=5, which="in").first()
+    ks = [6, 5]
+    exp = 1.0 + len(ks) / sum(math.log(k / 4.5) for k in ks)
+    assert r["n_tail"] == 2 and abs(r["alpha"] - exp) < 1e-12
+
+    # planted alpha≈2.2 zipf in-degree graph
+    rng = np.random.default_rng(3)
+    degs = np.clip(rng.zipf(2.2, size=3000), 1, 5000)
+    rows2 = [(int(i * 100_000 + j), int(i)) for i, d in enumerate(degs) for j in range(int(d))]
+    e2 = spark.createDataFrame(rows2, "src long, dst long")
+    r2 = degree_powerlaw(e2, xmin=5, which="in").first()
+    assert 1.9 < r2["alpha"] < 2.5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        degree_powerlaw(e, which="up")
