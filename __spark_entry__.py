@@ -316,6 +316,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _edges(spark, sf), walk_length=3, walks_per_node=2, seed=7
         ).select("start_id", "walk", "step", "id")
 
+    def node2vec(spark, sf):
+        """Second-order biased walks (p=0.25, q=4.0; 1 uniform + 1 biased
+        step) — exact-integer weighted selection reproduced in SQL."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.walks import node2vec_walks
+
+        return node2vec_walks(
+            _edges(spark, sf), walk_length=2, walks_per_node=1,
+            p=0.25, q=4.0, seed=9,
+        ).select("start_id", "walk", "step", "id")
+
     def co_citation_q(spark, sf):
         """Co-citation relatedness pairs (uncapped on the tiny driver graph;
         the fan-out cap has its own pytest)."""
@@ -1367,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_edges": ego_edges,
         "hyperball_nf": hyperball_nf,
         "random_walks": random_walks_q,
+        "node2vec_walks": node2vec,
         "co_citation": co_citation_q,
         "adamic_adar": adamic_adar_q,
         "kcore_coreness": kcore_coreness,
@@ -2318,6 +2330,48 @@ SELECT x.dst AS a, y.dst AS b, COUNT(*) AS n_common_src,
 FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst JOIN d ON d.src = x.src
 GROUP BY x.dst, y.dst HAVING COUNT(*) >= 2
 """
+    # ---- node2vec: 1 uniform argmin step + 1 integer-weighted biased step
+    # (wp=40000, w1=10000, wq=2500 for p=0.25, q=4.0, scale 10000; draw
+    # r = md5-60("9_{s}_0_2_r") mod total, slot ownership in class/dst order)
+    def _n2vh(expr):
+        return f"CAST(('0x' || substr(md5({expr}), 1, 15))::UBIGINT AS BIGINT)"
+
+    N2V = f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({E})),
+st AS (SELECT DISTINCT src AS s FROM e),
+c1 AS (SELECT st.s, e.dst,
+       {_n2vh("9 || '_' || st.s || '_' || 0 || '_' || 1 || '_' || e.dst")} AS h
+       FROM st JOIN e ON e.src = st.s),
+p1 AS (SELECT s, dst AS v1 FROM (
+       SELECT s, dst, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h ASC, dst ASC) AS rn
+       FROM c1) WHERE rn = 1),
+c2 AS (SELECT p1.s, p1.v1, e.dst,
+       CASE WHEN e.dst = p1.s THEN 0
+            WHEN EXISTS (SELECT 1 FROM e pe WHERE pe.src = p1.s AND pe.dst = e.dst)
+            THEN 1 ELSE 2 END AS cls
+       FROM p1 JOIN e ON e.src = p1.v1),
+cw AS (SELECT *, CASE cls WHEN 0 THEN 40000 WHEN 1 THEN 10000 ELSE 2500 END AS w FROM c2),
+tot AS (SELECT s, SUM(w) AS total,
+        SUM(CASE WHEN cls = 0 THEN w ELSE 0 END) AS t0,
+        SUM(CASE WHEN cls = 1 THEN w ELSE 0 END) AS t1
+        FROM cw GROUP BY s),
+tr AS (SELECT s, t0, t1,
+       {_n2vh("9 || '_' || s || '_' || 0 || '_' || 2 || '_r'")} % total AS r
+       FROM tot),
+tg AS (SELECT s,
+       CASE WHEN r < t0 THEN 0 WHEN r < t0 + t1 THEN 1 ELSE 2 END AS tcls,
+       CASE WHEN r < t0 THEN r // 40000
+            WHEN r < t0 + t1 THEN (r - t0) // 10000
+            ELSE (r - t0 - t1) // 2500 END AS j
+       FROM tr),
+rk AS (SELECT s, dst, cls,
+       ROW_NUMBER() OVER (PARTITION BY s, cls ORDER BY dst ASC) - 1 AS rn FROM cw),
+p2 AS (SELECT rk.s, rk.dst AS v2 FROM rk
+       JOIN tg ON tg.s = rk.s AND rk.cls = tg.tcls AND rk.rn = tg.j)
+SELECT s AS start_id, CAST(0 AS BIGINT) AS walk, CAST(0 AS INTEGER) AS step, s AS id FROM st
+UNION ALL SELECT s, 0, 1, v1 FROM p1
+UNION ALL SELECT s, 0, 2, v2 FROM p2
+"""
     # ---- random walks: 3 unrolled argmin steps, same md5 hash key as
     # walks._choice_hash ("{seed}_{start}_{walk}_{step}_{nb}")
     def _wh(step):
@@ -2637,6 +2691,7 @@ FROM c, rc, ag
         "clustering_coefficient": CLUSTER,
         "hyperball_nf": HYPERBALL,
         "random_walks": WALKS,
+        "node2vec_walks": N2V,
         "co_citation": COCIT,
         "adamic_adar": AAD,
         "kcore_coreness": KCORE,

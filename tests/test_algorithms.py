@@ -888,3 +888,87 @@ def test_degree_powerlaw_mle(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         degree_powerlaw(e, which="up")
+
+
+def test_node2vec_walks_exact_and_biased(spark):
+    """Integer-weighted selection matches a python twin step-for-step on
+    the mirror graph, and the p/q bias is directionally visible: small p
+    (return-friendly) backtracks far more often than large p."""
+    import hashlib
+    from collections import defaultdict
+
+    from pagerank_spark.algorithms.walks import node2vec_walks
+
+    arr, _ = micro_graphs()["test1_mirror"]
+    e = edges_from_numpy(spark, arr)
+    outs = defaultdict(set)
+    for u, v in arr:
+        outs[int(u)].add(int(v))
+    edgeset = {(int(u), int(v)) for u, v in arr}
+
+    def h60(*parts):
+        key = "_".join(str(x) for x in parts)
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    def twin(L, p, q, seed, S=10000):
+        wp, w1, wq = round(S / p), S, round(S / q)
+        rows = {}
+        for s in sorted(outs):
+            cur, prev = s, None
+            rows[(s, 0, 0)] = s
+            for t in range(1, L + 1):
+                nbrs = sorted(outs.get(cur, ()))
+                if not nbrs:
+                    break
+                if prev is None:
+                    nxt = min(nbrs, key=lambda nb: (h60(seed, s, 0, t, nb), nb))
+                else:
+                    classed = [[], [], []]
+                    for nb in nbrs:
+                        if nb == prev:
+                            classed[0].append(nb)
+                        elif (prev, nb) in edgeset:
+                            classed[1].append(nb)
+                        else:
+                            classed[2].append(nb)
+                    ws = [wp, w1, wq]
+                    total = sum(w * len(c) for w, c in zip(ws, classed))
+                    r = h60(seed, s, 0, t, "r") % total
+                    off = 0
+                    for w, c in zip(ws, classed):
+                        if r < off + w * len(c):
+                            nxt = c[(r - off) // w]
+                            break
+                        off += w * len(c)
+                rows[(s, 0, t)] = nxt
+                prev, cur = cur, nxt
+        return rows
+
+    for p, q in [(1.0, 1.0), (0.25, 4.0), (4.0, 0.25)]:
+        got = {
+            (r["start_id"], r["walk"], r["step"]): r["id"]
+            for r in node2vec_walks(e, walk_length=3, p=p, q=q, seed=9).collect()
+        }
+        assert got == twin(3, p, q, 9), (p, q)
+
+    # directional bias: return rate at step 2 (id_2 == id_0) — needs a
+    # graph where the reverse edge actually exists, so symmetrize
+    sym = np.vstack([arr, arr[:, ::-1]])
+    e_sym = edges_from_numpy(spark, sym)
+
+    def return_rate(p):
+        rows = {
+            (r["start_id"], r["step"]): r["id"]
+            for r in node2vec_walks(e_sym, walk_length=2, p=p, q=1.0, seed=4).collect()
+        }
+        back = sum(
+            1 for (s, t), v in rows.items() if t == 2 and v == s
+        )
+        n2 = sum(1 for (s, t) in rows if t == 2)
+        return back / max(n2, 1)
+
+    assert return_rate(0.05) > return_rate(20.0) + 0.1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        node2vec_walks(e, p=0.0)
