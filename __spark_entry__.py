@@ -245,6 +245,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "topic", "id", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
         )
 
+    def katz_3iter(spark, sf):
+        """Katz centrality, 3 unrolled iterations (alpha=0.05, beta=1)."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import katz_centrality
+
+        k = katz_centrality(_edges(spark, sf), N_VERTS, alpha=0.05, max_iter=3)
+        return k.select(
+            "id", F.round(F.col("katz") * 1e6).cast("long").alias("katz_e6")
+        )
+
     def spam_mass_q(spark, sf):
         """Relative spam mass with trusted core = ids 0..9, 3 fixed
         iterations for both the uniform and the core-personalized rank
@@ -1373,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": pagerank_personalized,
         "ppr_batch": ppr_batch,
         "spam_mass": spam_mass_q,
+        "katz_3iter": katz_3iter,
         "clustering_coefficient": clustering_coefficient,
         "bfs_from_seeds": bfs_from_seeds,
         "ego_edges": ego_edges,
@@ -2167,6 +2178,18 @@ WHERE len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i])) / 128.0 >= 0.4
         "\nUNION ALL SELECT 'tone', id, CAST(ROUND(r / (SELECT SUM(ABS(r)) FROM stc3)"
         " * 1e6) AS BIGINT) FROM stc3"
     )
+    KATZ3 = (
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({E})), "
+        f"v AS MATERIALIZED ({V}),\n"
+        f"k0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM v),\n"
+        + ",\n".join([
+            "kc1 AS (SELECT e.dst AS id, SUM(p.x) AS c FROM e JOIN k0 p ON p.id = e.src GROUP BY e.dst),\nk1 AS MATERIALIZED (SELECT v.id, 0.05 * COALESCE(kc1.c, 0) + 1.0 AS x FROM v LEFT JOIN kc1 ON kc1.id = v.id)",
+            "kc2 AS (SELECT e.dst AS id, SUM(p.x) AS c FROM e JOIN k1 p ON p.id = e.src GROUP BY e.dst),\nk2 AS MATERIALIZED (SELECT v.id, 0.05 * COALESCE(kc2.c, 0) + 1.0 AS x FROM v LEFT JOIN kc2 ON kc2.id = v.id)",
+            "kc3 AS (SELECT e.dst AS id, SUM(p.x) AS c FROM e JOIN k2 p ON p.id = e.src GROUP BY e.dst),\nk3 AS MATERIALIZED (SELECT v.id, 0.05 * COALESCE(kc3.c, 0) + 1.0 AS x FROM v LEFT JOIN kc3 ON kc3.id = v.id)",
+        ])
+        + "\nSELECT id, CAST(ROUND(x / (SELECT SQRT(SUM(x * x)) FROM k3) * 1e6) "
+        "AS BIGINT) AS katz_e6 FROM k3"
+    )
     # ---- spam mass: 3 unrolled uniform iterations + 3 unrolled
     # core-personalized iterations (seeds 0..9), then
     # rel_mass = (pr - (|S|/n)*tr) / pr over the L1-normalized ranks —
@@ -2688,6 +2711,7 @@ FROM c, rc, ag
         "pagerank_personalized": PPR3,
         "ppr_batch": PPRB,
         "spam_mass": SPAMM,
+        "katz_3iter": KATZ3,
         "clustering_coefficient": CLUSTER,
         "hyperball_nf": HYPERBALL,
         "random_walks": WALKS,

@@ -972,3 +972,27 @@ def test_node2vec_walks_exact_and_biased(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         node2vec_walks(e, p=0.0)
+
+
+@pytest.mark.parametrize("name", ["chain_8", "cycle_8", "star_hub", "two_islands"])
+def test_katz_centrality_exact(spark, name):
+    from pagerank_spark.algorithms.linkanalysis import katz_centrality
+
+    arr, n = micro_graphs()[name]
+    got = {
+        r["id"]: r["katz"]
+        for r in katz_centrality(
+            edges_from_numpy(spark, arr), n, alpha=0.05, max_iter=4
+        ).collect()
+    }
+    # numpy twin: x_{t+1} = alpha * A^T x_t + beta, then L2 normalize
+    A = np.zeros((n, n))
+    for u, v in {(int(u), int(v)) for u, v in arr}:
+        A[u, v] = 1.0
+    x = np.ones(n)
+    for _ in range(4):
+        x = 0.05 * A.T @ x + 1.0
+    x = x / np.linalg.norm(x)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert abs(got[i] - x[i]) < 1e-12
