@@ -1677,7 +1677,7 @@ WITH d AS (SELECT doc_id,
   substr(text, 1, 80) || '.' || chr(10) || substr(text, 81, 20) || chr(10)
   || 'Enable JavaScript ' || substr(text, 101, 40) || '.' || chr(10)
   || substr(text, 141, 60) || '.' AS text FROM documents),
-l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+l AS (SELECT doc_id, regexp_split_to_array(text, '\\r?\\n') AS lines FROM d),
 k AS (SELECT doc_id, lines, list_filter(lines, x ->
         regexp_matches(trim(x), '[.!?"]$')
         AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),

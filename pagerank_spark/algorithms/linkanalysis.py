@@ -967,12 +967,23 @@ def personalized_pagerank_batch(
     norm_row = state.agg(
         *[F.sum(F.abs(F.col(f"r{k}"))).alias(f"n{k}") for k in range(K)]
     ).first()
-    stack_args = ", ".join(
-        f"'{t}', r{k} / {float(norm_row[f'n{k}'])!r}" for k, t in enumerate(topics)
+    # melt via explode of literal structs — topic labels are user data, so
+    # they must never be spliced into a SQL string (quotes/backslashes in a
+    # label would break or alter an F.expr stack())
+    melted = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("topic"),
+                    (F.col(f"r{k}") / F.lit(float(norm_row[f"n{k}"]))).alias("rank"),
+                )
+                for k, t in enumerate(topics)
+            ]
+        )
     )
-    return state.select(
-        "id", F.expr(f"stack({K}, {stack_args}) AS (topic, rank)")
-    ).select("topic", "id", "rank")
+    return state.select("id", melted.alias("m")).select(
+        F.col("m.topic").alias("topic"), "id", F.col("m.rank").alias("rank")
+    )
 
 
 def host_link_features(edges: DataFrame, mapping: DataFrame) -> DataFrame:

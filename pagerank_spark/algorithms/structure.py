@@ -509,7 +509,8 @@ def _reachable(
             visited = visited.union(frontier).localCheckpoint(eager=True)
     if include_seeds:
         return visited
-    return reached_only if reached_only is not None else visited.limit(0)
+    # the loop body always assigns reached_only before its first exit check
+    return reached_only
 
 
 def bowtie(

@@ -358,19 +358,30 @@ def unigram_surprisal(
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
     toks = token_arrays(docs, id_col=id_col, text_col=text_col)
-    ex = toks.select("id", F.explode("toks").alias("tok"))
-    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # tokenize+explode ONCE: the exploded stream feeds both the unigram
+    # counts and the scoring join, so cache it for the operator's lifetime
+    # (spills past memory); counts (O(vocab)) checkpoint so the scalar
+    # action doesn't leave a second aggregation in the join's lineage
+    ex = toks.select("id", F.explode("toks").alias("tok")).persist()
+    counts = (
+        ex.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     row = counts.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).first()
     n_total, vocab = int(row["n"] or 0), int(row["v"] or 0)
     denom = float(n_total) + alpha * (vocab + 1)
     surprisal = -F.log((F.col("c") + F.lit(float(alpha))) / F.lit(denom))
-    return (
+    out = (
         ex.join(counts.select("tok", surprisal.alias("s")), "tok")
         .groupBy(F.col("id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.avg("s").alias("mean_surprisal"),
         )
+        .localCheckpoint(eager=True)
     )
+    ex.unpersist()
+    return out

@@ -310,7 +310,12 @@ def c4_line_filter(
     map-only pass, no shuffle, no UDF; every predicate is in the Java∩RE2
     regex dialect so the DuckDB oracle runs the identical patterns.
     """
-    lines = F.split(F.col(text_col), "\n")
+    # split on \r?\n (not bare \n): a CRLF corpus would otherwise leave a
+    # trailing \r on every line, which Java's $ ignores ('line.\r' KEPT)
+    # while RE2/DuckDB's $ does not — silently divergent decisions — and
+    # the stray \r would survive into the rebuilt text. NULL text behaves
+    # like the empty string (n_lines 1, n_kept 0) instead of size(-1).
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
 
     def keep(line):
         t = F.trim(line)

@@ -855,24 +855,32 @@ def duplicate_spans(
     """
     if min_df < 2:
         raise ValueError("min_df must be >= 2 (a span is its own 1st copy)")
-    wins = span_windows(docs, span_tokens, id_col, text_col)
+    from pagerank_spark import util as _util
+
+    # tokenize+window ONCE: wins feeds the df aggregation, the per-doc
+    # rollup, and the hint gate, so it is cached for the operator's
+    # lifetime (spills to disk at corpus scale) instead of re-running the
+    # most expensive stage per consumer
+    wins = span_windows(docs, span_tokens, id_col, text_col).persist()
+    n_windows_total = int(
+        wins.agg(F.sum(F.size("wins"))).first()[0] or 0
+    )
     ex = wins.select("id", F.explode("wins").alias("w")).select(
         "id", F.md5("w").alias("h")
     )
     span_df = ex.groupBy("h").agg(F.count_distinct("id").alias("df"))
     hot = span_df.filter(F.col("df") >= min_df).select("h")
-    from pagerank_spark import util as _util
-
-    # hot-span side is data-dependent; gate the hint on the corpus row count
-    # like the engine's other O(V)-ish sides
-    if docs.count() > _util.BROADCAST_SAFE_ROWS:
+    # the hot-span side is bounded by TOTAL WINDOWS (every window can be
+    # duplicated — boilerplate-heavy corpora approach that bound), so the
+    # never-auto-broadcast gate keys on the window count, not the doc count
+    if n_windows_total > _util.BROADCAST_SAFE_ROWS:
         hot = hot.hint("shuffle_hash")
     per_doc = (
         ex.join(hot, "h", "left_semi")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_dup_windows"))
     )
-    return (
+    out = (
         wins.select("id", F.size("wins").cast("long").alias("n_windows"))
         .join(per_doc, "id", "left")
         .select(
@@ -888,6 +896,9 @@ def duplicate_spans(
             .alias("dup_fraction"),
         )
     )
+    out = out.localCheckpoint(eager=True)
+    wins.unpersist()
+    return out
 
 
 def duplicate_span_table(
@@ -939,17 +950,33 @@ def remove_duplicate_spans(
     """
     if min_df < 2:
         raise ValueError("min_df must be >= 2")
+    from pagerank_spark import util as _util
+
     L = int(span_tokens)
-    toks = token_arrays(docs, id_col=id_col, text_col=text_col)
-    wins = span_windows(docs, span_tokens, id_col, text_col)
+    # ONE tokenize pass: windows derive from the cached token arrays (the
+    # previous shape tokenized twice — once for toks, once inside
+    # span_windows), and the cache also feeds the final rebuild join
+    toks = token_arrays(docs, id_col=id_col, text_col=text_col).persist()
+    wins = toks.select(
+        "id",
+        F.when(
+            F.size("toks") >= L,
+            F.expr(
+                f"transform(sequence(1, size(toks) - {L} + 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {L})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("wins"),
+    )
+    n_windows_total = int(wins.agg(F.sum(F.size("wins"))).first()[0] or 0)
     ex = wins.select("id", F.posexplode("wins").alias("start", "w")).select(
         "id", "start", F.md5("w").alias("h")
     )
     span_df = ex.groupBy("h").agg(F.count_distinct("id").alias("df"))
     hot = span_df.filter(F.col("df") >= min_df).select("h")
-    from pagerank_spark import util as _util
-
-    if docs.count() > _util.BROADCAST_SAFE_ROWS:
+    # gate on the hot side's true bound (total windows), as in duplicate_spans
+    if n_windows_total > _util.BROADCAST_SAFE_ROWS:
         hot = hot.hint("shuffle_hash")
     starts = (
         ex.join(hot, "h", "left_semi")
@@ -968,12 +995,15 @@ def remove_duplicate_spans(
             lambda s: (s <= pos) & (pos < s + F.lit(L)),
         ),
     )
-    return joined.select(
+    out = joined.select(
         F.col("id").alias(id_col),
         F.size("toks").cast("long").alias("n_tokens"),
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("text"),
     )
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    return out
 
 
 def host_boilerplate_spans(

@@ -217,7 +217,11 @@ def bm25f_topk(
         w_expr = (
             F.when(cond, float(w)) if w_expr is None else w_expr.when(cond, float(w))
         )
-    base = (
+    # ONE tokenize pass: reduce each (doc, field) row to its length and its
+    # query-term tokens (tiny arrays) and checkpoint THAT — both the length
+    # stats and the hits derive from it without re-tokenizing the corpus
+    # (the postings-checkpoint discipline of bm25_topk)
+    slim = (
         widen_partitions(fields.select(id_col, field_col, text_col))
         .filter(F.col(field_col).isin(list(field_weights)))
         .select(
@@ -227,10 +231,17 @@ def bm25f_topk(
                 F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
             ).alias("toks"),
         )
+        .select(
+            "doc_id",
+            "w",
+            F.size("toks").alias("dl_f"),
+            F.filter("toks", lambda x: x.isin(q_terms)).alias("qtoks"),
+        )
+        .localCheckpoint(eager=True)
     )
     wdl = (
-        base.groupBy("doc_id")
-        .agg(F.sum(F.col("w") * F.size("toks")).alias("wdl"))
+        slim.groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("dl_f")).alias("wdl"))
         .filter(F.col("wdl") > 0)
         .localCheckpoint(eager=True)
     )
@@ -243,8 +254,7 @@ def bm25f_topk(
     avgwdl = float(stats["t"]) / n_docs
 
     hits = (
-        base.select("doc_id", "w", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(q_terms))
+        slim.select("doc_id", "w", F.explode("qtoks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.sum("w").alias("wtf"))
     )

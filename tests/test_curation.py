@@ -230,6 +230,8 @@ def test_c4_line_filter_rules(spark):
         ])),
         (1, good),
         (2, ""),
+        (3, good + "\r\n" + "short crlf line.\r\n" + good),  # CRLF corpus
+        (4, None),                                            # NULL text
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["text"])
@@ -238,3 +240,7 @@ def test_c4_line_filter_rules(spark):
     assert got[0][2] == good + "\n" + 'he said "this quoted line has enough words."'
     assert got[1] == (1, 1, good)
     assert got[2] == (1, 0, "")
+    # CRLF: lines split cleanly (no stray \r kept), short line dropped
+    assert got[3] == (3, 2, good + "\n" + good)
+    # NULL text behaves like empty, never size(-1)
+    assert got[4] == (1, 0, "")
