@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """At-scale smokes (not part of the per-round bench: minutes-long).
 
-Run:  python bench_smoke.py [triangles|ngram|labelprop|kcore|scc|hyperball|walks|ppr_batch|all]
+Run:  python bench_smoke.py [triangles|ngram|labelprop|kcore|scc|hyperball|walks|ppr_batch|spans|all]
 
 - triangles: exact triangle count at 10M vertices / 30M edges on local[32]
   (the hint gate flips to shuffle_hash joins here) — proves the
@@ -350,6 +350,54 @@ def smoke_ppr_batch(spark, n_vertices=2_000_000, n_edges=8_000_000, k_topics=8):
     }
 
 
+
+def smoke_span_dedup(spark, n_docs=50_000):
+    """Span-level dedup at 50k docs where EVERY doc shares a planted
+    10-token boilerplate prefix — the worst case for the window-df stage
+    (one span hash carried by the whole corpus; map-side combine must
+    absorb it). Records wall time and asserts the flag stage found exactly
+    the boilerplate coverage."""
+    from pagerank_spark.pipeline.dedup import duplicate_spans
+
+    boiler = "the quick brown fox jumps over the lazy sleeping dog"
+    docs = (
+        spark.range(0, n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(boiler + " "),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"w{j}u"), (F.col("id") * 37 + j).cast("string"))
+                        for j in range(90)
+                    ],
+                ),
+            ).alias("text"),
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    out = duplicate_spans(docs, span_tokens=10, min_df=2)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_dup_windows").alias("dups"),
+        F.min("n_dup_windows").alias("mn"),
+        F.max("n_dup_windows").alias("mx"),
+    ).first()
+    wall = time.time() - t0
+    # exactly the planted 10-token prefix window is cross-doc duplicated:
+    # 1 duplicated window position per doc (unique tails kill the rest)
+    assert agg["n"] == n_docs and agg["mn"] == 1 and agg["mx"] == 1
+    return {
+        "smoke": "span_dedup",
+        "n_docs": n_docs,
+        "dup_windows": int(agg["dups"]),
+        "wall_s": round(wall, 1),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from pagerank_spark.session import get_spark
@@ -368,6 +416,8 @@ def main() -> None:
         print(json.dumps(smoke_scc(spark)))
     if which in ("hyperball", "all"):
         print(json.dumps(smoke_hyperball(spark)))
+    if which in ("spans", "all"):
+        print(json.dumps(smoke_span_dedup(spark)))
     if which in ("ppr_batch", "all"):
         print(json.dumps(smoke_ppr_batch(spark)))
     if which in ("walks", "all"):
