@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """At-scale smokes (not part of the per-round bench: minutes-long).
 
-Run:  python bench_smoke.py [triangles|ngram|labelprop|kcore|scc|hyperball|walks|ppr_batch|spans|all]
+Run:  python bench_smoke.py [triangles|ngram|labelprop|kcore|scc|hyperball|walks|ppr_batch|spans|bowtie|all]
 
 - triangles: exact triangle count at 10M vertices / 30M edges on local[32]
   (the hint gate flips to shuffle_hash joins here) — proves the
@@ -398,6 +398,39 @@ def smoke_span_dedup(spark, n_docs=50_000):
     }
 
 
+
+def smoke_bowtie(spark, n_vertices=1_000_000, n_edges=8_000_000):
+    """Broder decomposition at 1M vertices / 8M edges (above the broadcast
+    gate): SCC + four reachability fixpoints complete without OOM; the
+    class counts partition the vertex set exactly."""
+    from pagerank_spark.algorithms.structure import bowtie
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    e = synthetic_edges(spark, n_vertices, n_edges, seed=11).localCheckpoint(
+        eager=True
+    )
+    t0 = time.time()
+    lab = bowtie(e)
+    counts = {
+        r["component"]: int(r["c"])
+        for r in lab.groupBy("component").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    wall = time.time() - t0
+    n_covered = sum(counts.values())
+    n_endpoints = (
+        e.select(F.col("src").alias("x")).union(e.select("dst")).distinct().count()
+    )
+    assert n_covered == n_endpoints, (n_covered, n_endpoints)
+    assert counts.get("CORE", 0) > 0
+    return {
+        "smoke": "bowtie",
+        "n_vertices": n_vertices,
+        "n_edges": n_edges,
+        "counts": counts,
+        "wall_s": round(wall, 1),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from pagerank_spark.session import get_spark
@@ -416,6 +449,8 @@ def main() -> None:
         print(json.dumps(smoke_scc(spark)))
     if which in ("hyperball", "all"):
         print(json.dumps(smoke_hyperball(spark)))
+    if which in ("bowtie", "all"):
+        print(json.dumps(smoke_bowtie(spark)))
     if which in ("spans", "all"):
         print(json.dumps(smoke_span_dedup(spark)))
     if which in ("ppr_batch", "all"):
