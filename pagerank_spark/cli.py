@@ -427,6 +427,40 @@ def cmd_graph_diff(args) -> int:
     return 0
 
 
+
+def cmd_katz(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.linkanalysis import katz_centrality
+
+    edges, n = _load_edges(spark, args)
+    k = katz_centrality(edges, n, alpha=args.alpha, beta=args.beta,
+                        max_iter=args.max_iter, eps=args.eps)
+    if args.output:
+        k.write.mode("overwrite").parquet(args.output)
+    top = k.orderBy(F.desc("katz"), F.asc("id")).limit(1).first()
+    print(json.dumps({"n": n, "top_id": int(top["id"]),
+                      "top_katz": round(float(top["katz"]), 6)}))
+    return 0
+
+
+def cmd_node2vec(args) -> int:
+    spark = _spark(args)
+    from pagerank_spark.algorithms.walks import node2vec_walks
+
+    edges, _ = _load_edges(spark, args)
+    w = node2vec_walks(edges, walk_length=args.walk_length,
+                       walks_per_node=args.walks_per_node,
+                       p=args.p, q=args.q, seed=args.seed)
+    if args.output:
+        w.write.mode("overwrite").parquet(args.output)
+    row = w.agg(F.count(F.lit(1)).alias("rows"),
+                F.count_distinct("start_id").alias("starts"),
+                F.max("step").alias("max_step")).first()
+    print(json.dumps({"rows": int(row["rows"]), "starts": int(row["starts"]),
+                      "max_step": int(row["max_step"])}))
+    return 0
+
+
 def cmd_summary(args) -> int:
     spark = _spark(args)
     from pagerank_spark.algorithms.structure import graph_summary
@@ -585,6 +619,23 @@ def main(argv: list[str] | None = None) -> int:
     gd.add_argument("--new", required=True, help="new edges parquet dir")
     gd.add_argument("--output", default=None)
     gd.set_defaults(fn=cmd_graph_diff)
+
+    kz = sub.add_parser("katz", help="Katz centrality")
+    graph_args(kz)
+    kz.add_argument("--alpha", type=float, default=0.05)
+    kz.add_argument("--beta", type=float, default=1.0)
+    kz.add_argument("--max-iter", type=int, default=10)
+    kz.add_argument("--eps", type=float, default=0.0)
+    kz.set_defaults(fn=cmd_katz)
+
+    nv = sub.add_parser("node2vec", help="p/q-biased second-order walks")
+    graph_args(nv)
+    nv.add_argument("--walk-length", type=int, default=4)
+    nv.add_argument("--walks-per-node", type=int, default=1)
+    nv.add_argument("--p", type=float, default=1.0)
+    nv.add_argument("--q", type=float, default=1.0)
+    nv.add_argument("--seed", type=int, default=42)
+    nv.set_defaults(fn=cmd_node2vec)
 
     gs = sub.add_parser("summary", help="whole-graph summary stats")
     graph_args(gs)

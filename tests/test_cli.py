@@ -255,3 +255,13 @@ def test_cli_bowtie_adamic_adar_graph_diff(tmp_path):
     r = run_cli("graph-diff", "--old", po, "--new", pn)
     # vertex 0 keeps out=1/in=0 in both snapshots, so only 1, 2, 3 move
     assert r == {"added": 1, "removed": 1, "vertices_degree_changed": 3}
+
+
+def test_cli_katz_and_node2vec():
+    gf = "/root/reference/Pagerank/src/test1.graph"
+    r = run_cli("katz", "--graph-file", gf, "--max-iter", "3")
+    assert r["n"] == 2319 and 0.0 < r["top_katz"] <= 1.0
+
+    r = run_cli("node2vec", "--graph-file", gf, "--walk-length", "3",
+                "--p", "0.5", "--q", "2.0")
+    assert r["starts"] == 272 and r["max_step"] == 3 and r["rows"] >= 272
