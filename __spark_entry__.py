@@ -758,6 +758,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rank",
         )
 
+    def doc_keywords(spark, sf):
+        """Per-doc top-3 tf-idf keywords."""
+        _spark_ready(spark)
+        from pagerank_spark.pipeline.search import keyword_extract
+
+        kw = keyword_extract(_docs(spark, sf), k=3)
+        return kw.select(
+            "doc_id", "term", "tf",
+            F.round(F.col("tfidf") * 1e6).cast("long").alias("tfidf_e6"),
+            "rank",
+        )
+
     def contamination_screen(spark, sf):
         """Benchmark-decontamination screen: every 25th document doubles as
         a planted 'benchmark' item, so those docs must flag at overlap 1.0
@@ -1410,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash,
         "search_bm25": search_bm25,
         "search_bm25f": search_bm25f,
+        "doc_keywords": doc_keywords,
         "contamination_screen": contamination_screen,
         "dedup_canonical": dedup_canonical,
         "dedup_simhash": dedup_simhash,
@@ -1795,6 +1808,22 @@ ranked AS (SELECT doc_id, score,
            ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
 SELECT doc_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6, rank
 FROM ranked WHERE rank <= 15
+"""
+    KEYWORDS = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+post AS (SELECT doc_id, unnest(t) AS term FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM post GROUP BY doc_id, term),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+       CAST(tf.tf AS DOUBLE)
+         * LN(CAST((SELECT n FROM nn) AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS tfidf
+       FROM tf JOIN dfq USING (term)),
+rk AS (SELECT doc_id, term, tf, tfidf,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+       FROM sc)
+SELECT doc_id, term, tf, CAST(ROUND(tfidf * 1e6) AS BIGINT) AS tfidf_e6, rank
+FROM rk WHERE rank <= 3
 """
     # ---- contamination screen: n=8 shingles both sides, pooled benchmark
     # shingle set = docs with doc_id % 25 == 0 (the planted benchmark the
@@ -2809,6 +2838,7 @@ FROM m
         "corpus_diversity": DIVERSITY,
         "search_bm25": BM25,
         "search_bm25f": BM25F,
+        "doc_keywords": KEYWORDS,
         "contamination_screen": CONTAM,
         "dedup_minhash_lsh": MINHASH,
         "dedup_canonical": CANON,

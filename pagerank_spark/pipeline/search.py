@@ -292,3 +292,45 @@ def bm25f_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "score", "rank"
     )
+
+
+def keyword_extract(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf (idf = ln(N/df), the plain
+    unsmoothed form): (doc_id, term, tf, tfidf, rank) — the cheap keyword
+    / tag extraction stage of an indexing pipeline, and the feature input
+    for cluster labeling.
+
+    Ties break (tfidf desc, term asc) so output is deterministic. The
+    per-doc top-k window partitions on doc_id — bounded by a document's
+    distinct-term count, so unlike per-host top-k there is no hot-key
+    hazard to salt away. Plan: the postings build (one shuffle), the df
+    aggregation (one), the df join back (hash on term; the hot "the" term
+    is one row on the df side), and the window (one) — corpus-linear.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pagerank_spark.util import widen_partitions
+
+    postings = term_postings(docs, id_col, text_col).localCheckpoint(eager=True)
+    n_docs = postings.select(id_col).distinct().count()
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = postings.join(dfreq, "term").select(
+        id_col,
+        "term",
+        "tf",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

@@ -937,3 +937,39 @@ def test_host_boilerplate_spans_keyed_by_host(spark):
     got = {(r["host"], r["span"]): r["df"]
            for r in host_boilerplate_spans(docs, span_tokens=10).collect()}
     assert got == {("a.com", footer): 2}
+
+
+def test_keyword_extract_tfidf_twin(spark):
+    import math
+    import re as _re
+    from collections import Counter
+
+    from pagerank_spark.pipeline.search import keyword_extract
+
+    rows = [
+        (0, "apple apple banana common common common"),
+        (1, "banana cherry common common"),
+        (2, "durian common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["tfidf"])
+           for r in keyword_extract(docs, k=2).collect()}
+
+    tok = lambda s: [t for t in _re.split(r"\W+", s.lower()) if t]
+    tfs = {d: Counter(tok(t)) for d, t in rows}
+    dfc = Counter(t for c in tfs.values() for t in c)
+    n = len(rows)
+    exp = {}
+    for d, c in tfs.items():
+        ranked = sorted(
+            ((t, tf, tf * math.log(n / dfc[t])) for t, tf in c.items()),
+            key=lambda x: (-x[2], x[0]),
+        )
+        for i, (t, tf, s) in enumerate(ranked[:2], start=1):
+            exp[(d, i)] = (t, tf, s)
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key][0] == exp[key][0] and got[key][1] == exp[key][1]
+        assert abs(got[key][2] - exp[key][2]) < 1e-12
+    # 'common' appears in every doc -> idf 0 -> never a top keyword for doc 0
+    assert all(got[(0, r)][0] != "common" for r in (1, 2))
