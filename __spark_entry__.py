@@ -442,6 +442,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("reciprocal_frac") * 1e6).cast("long").alias("recip_e6"),
         )
 
+    def host_top_pages(spark, sf):
+        """Each host's top-2 pages by 2-iteration PageRank (integer-e6
+        ordering), selected with the skew-safe salted top-k."""
+        _spark_ready(spark)
+        from pagerank_spark import util as _u
+        from pagerank_spark.algorithms.pagerank import PageRank
+
+        pr = PageRank(max_iter=2, eps=0.0).run(_edges(spark, sf), N_VERTS).ranks
+        ranked = pr.select(
+            (F.col("id") % N_HOSTS).cast("long").alias("host"),
+            "id",
+            F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6"),
+        )
+        return _u.salted_top_k(
+            ranked,
+            keys=["host"],
+            order=[F.desc("rank_e6"), F.asc("id")],
+            k=2,
+            salt_expr=F.xxhash64(F.col("id").cast("string")),
+            n_salts=8,
+            rank_col="rk",
+        ).select("host", "id", "rank_e6", "rk")
+
     def dedup_exact(spark, sf):
         _spark_ready(spark)
         from pagerank_spark.pipeline.dedup import exact_dedup
@@ -1411,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_powerlaw": degree_powerlaw_q,
         "host_pagerank": host_pagerank,
         "host_features": host_features,
+        "host_top_pages": host_top_pages,
         "dedup_exact": dedup_exact,
         "dedup_paragraphs": dedup_paragraphs,
         "url_canonical": url_canonical,
@@ -2587,6 +2611,19 @@ LIMIT 20
 """
     )
 
+    HOSTTOP = (
+        f"WITH e2 AS MATERIALIZED ({E}),"
+        + _pr2sql("h", "e2")
+        + f"""
+SELECT host, id, rank_e6, rk FROM (
+  SELECT id % {N_HOSTS} AS host, id,
+         CAST(ROUND(r * 1e6) AS BIGINT) AS rank_e6,
+         ROW_NUMBER() OVER (PARTITION BY id % {N_HOSTS}
+                            ORDER BY ROUND(r * 1e6) DESC, id ASC) AS rk
+  FROM nh) WHERE rk <= 2
+"""
+    )
+
     LANGSTATS = """
 SELECT lang AS key, COUNT(*) AS n_docs,
        CAST(ROUND(AVG(n_chars) * 1e2) AS BIGINT) AS mean_len_e2,
@@ -2753,6 +2790,7 @@ FROM c, rc, ag
         "graph_stats": GSTATS,
         "degree_powerlaw": POWERLAW,
         "host_features": HOSTFEAT,
+        "host_top_pages": HOSTTOP,
         "host_pagerank": HOSTPR,
         "dedup_exact": (
             "SELECT keep_id, COUNT(*) AS group_size FROM "
