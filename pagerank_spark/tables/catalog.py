@@ -170,3 +170,53 @@ class Catalog:
         dirs = json.loads(meta.summary.get("data_dirs", "[]")) or [meta.data_dir]
         paths = [os.path.join(self.warehouse, table, d) for d in dirs]
         return spark.read.parquet(*paths)
+
+    # -- maintenance ---------------------------------------------------------
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> dict:
+        """Iceberg-style snapshot expiry + orphan cleanup: keep the newest
+        ``keep_last`` snapshots (always including current), delete older
+        manifests, then remove every data directory no retained manifest
+        references — including dangling snap dirs from crashed mid-commit
+        writes (the pointer never flipped, so nothing references them).
+
+        Long-running recrawl loops checkpoint every iteration; without
+        expiry the warehouse grows by one snapshot per iteration forever.
+        Returns {"expired_snapshots": [...], "deleted_dirs": [...],
+        "kept_snapshots": [...]} for the caller's audit log.
+
+        Safety: retention is manifest-driven (a data dir referenced by ANY
+        retained manifest survives, so append chains keep their history),
+        and the current pointer is never expired even with keep_last=1.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.current_meta(table)
+        if cur is None:
+            return {"expired_snapshots": [], "deleted_dirs": [], "kept_snapshots": []}
+        snaps = self.snapshots(table)
+        keep = set(snaps[-keep_last:]) | {cur.snapshot_id}
+        expired = [s for s in snaps if s not in keep]
+
+        referenced: set[str] = set()
+        for s in keep:
+            meta = self.snapshot_meta(table, s)
+            dirs = json.loads(meta.summary.get("data_dirs", "[]")) or [meta.data_dir]
+            referenced.update(dirs)
+        for s in expired:
+            os.remove(os.path.join(self._meta_dir(table), f"v{s}.json"))
+
+        deleted = []
+        data_root = os.path.join(self.warehouse, table, "data")
+        if os.path.isdir(data_root):
+            for name in sorted(os.listdir(data_root)):
+                rel = os.path.join("data", name)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(data_root, name))
+                    deleted.append(rel)
+        return {
+            "expired_snapshots": expired,
+            "deleted_dirs": deleted,
+            "kept_snapshots": sorted(keep),
+        }

@@ -87,3 +87,46 @@ def test_lineage_rows(spark, cat, golden):
     )
     # per-partition rows exist
     assert any(r["partition_id"] >= 0 for r in rows)
+
+
+def test_expire_snapshots_keeps_referenced_data(spark, tmp_path):
+    """Expiry deletes old manifests + unreferenced data dirs (including a
+    planted crashed-commit orphan) but never anything a retained snapshot
+    references — append chains keep their full file history; time travel
+    within the retained window still works; current survives keep_last=1."""
+    import os
+
+    from pagerank_spark.tables.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    df = lambda lo: spark.range(lo, lo + 5)
+    cat.write(df(0), "t")                      # snap 0 (overwrite)
+    cat.write(df(10), "t", mode="append")      # snap 1 references snap 0's files
+    cat.write(df(20), "t", mode="append")      # snap 2 references 0+1
+    cat.write(df(30), "t")                     # snap 3 (fresh overwrite)
+    cat.write(df(40), "t", mode="append")      # snap 4 references 3
+    # planted orphan from a "crashed" commit (pointer never flipped)
+    orphan = tmp_path / "wh" / "t" / "data" / "snap-99-deadbeef"
+    os.makedirs(orphan)
+    (orphan / "junk.parquet").write_bytes(b"x")
+
+    res = cat.expire_snapshots("t", keep_last=2)
+    assert res["expired_snapshots"] == [0, 1, 2]
+    assert sorted(res["kept_snapshots"]) == [3, 4]
+    assert any("snap-99" in d for d in res["deleted_dirs"])
+    # retained snapshots fully readable (append chain intact)
+    assert cat.read(spark, "t").count() == 10
+    assert cat.read(spark, "t", snapshot_id=3).count() == 5
+    # expired manifests gone
+    assert cat.snapshots("t") == [3, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.snapshot_meta("t", 0)
+    with _pytest.raises(ValueError):
+        cat.expire_snapshots("t", keep_last=0)
+
+    # keep_last=1 never deletes current
+    res2 = cat.expire_snapshots("t", keep_last=1)
+    assert res2["kept_snapshots"] == [4]
+    assert cat.read(spark, "t").count() == 10  # snap 4 still references snap 3's files
