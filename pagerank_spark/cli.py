@@ -461,6 +461,26 @@ def cmd_node2vec(args) -> int:
     return 0
 
 
+
+def cmd_vacuum(args) -> int:
+    import os
+
+    from pagerank_spark.tables import Catalog
+
+    cat = Catalog(args.warehouse_dir)
+    report = {}
+    for table in sorted(os.listdir(args.warehouse_dir)):
+        if os.path.isdir(os.path.join(args.warehouse_dir, table, "metadata")):
+            r = cat.expire_snapshots(table, keep_last=args.keep)
+            report[table] = {
+                "expired": len(r["expired_snapshots"]),
+                "deleted_dirs": len(r["deleted_dirs"]),
+                "kept": r["kept_snapshots"],
+            }
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_summary(args) -> int:
     spark = _spark(args)
     from pagerank_spark.algorithms.structure import graph_summary
@@ -636,6 +656,11 @@ def main(argv: list[str] | None = None) -> int:
     nv.add_argument("--q", type=float, default=1.0)
     nv.add_argument("--seed", type=int, default=42)
     nv.set_defaults(fn=cmd_node2vec)
+
+    vc = sub.add_parser("vacuum", help="expire old snapshots + orphan data dirs")
+    vc.add_argument("--warehouse-dir", required=True)
+    vc.add_argument("--keep", type=int, default=2)
+    vc.set_defaults(fn=cmd_vacuum)
 
     gs = sub.add_parser("summary", help="whole-graph summary stats")
     graph_args(gs)

@@ -265,3 +265,23 @@ def test_cli_katz_and_node2vec():
     r = run_cli("node2vec", "--graph-file", gf, "--walk-length", "3",
                 "--p", "0.5", "--q", "2.0")
     assert r["starts"] == 272 and r["max_step"] == 3 and r["rows"] >= 272
+
+
+def test_cli_vacuum(tmp_path):
+    """vacuum expires old snapshots of every table in a warehouse produced
+    by a real checkpointed pagerank run."""
+    pages = str(tmp_path / "pages")
+    graph = str(tmp_path / "graph")
+    wh = str(tmp_path / "wh")
+    run_cli("generate-pages", "--n", "200", "--output", pages)
+    run_cli("build-graph", "--pages", pages, "--output", graph)
+    run_cli("--warehouse", wh, "pagerank", "--edges", f"{graph}/edges",
+            "--max-iter", "4", "--eps", "0.0", "--run-id", "vac",
+            "--output", str(tmp_path / "ranks"))
+    r = run_cli("vacuum", "--warehouse-dir", wh, "--keep", "1")
+    assert r and all(v["expired"] >= 1 for v in r.values())
+    # resumable state still readable: re-run from the kept snapshot
+    r2 = run_cli("--warehouse", wh, "pagerank", "--edges", f"{graph}/edges",
+                 "--run-id", "vac", "--resume",
+                 "--output", str(tmp_path / "ranks2"))
+    assert r2["iterations"] >= 4
