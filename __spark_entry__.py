@@ -442,6 +442,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("reciprocal_frac") * 1e6).cast("long").alias("recip_e6"),
         )
 
+    def host_mirrors(spark, sf):
+        """Mirror-host candidates: outlink-set Jaccard >= 0.2 over the
+        id%50 host rollup (exact, uncapped on the small driver graph)."""
+        _spark_ready(spark)
+        from pagerank_spark.algorithms.linkanalysis import host_mirror_pairs
+
+        mapping = _verts(spark).select(
+            "id", (F.col("id") % N_HOSTS).cast("long").alias("group")
+        )
+        p = host_mirror_pairs(
+            _edges(spark, sf), mapping, threshold=0.2, max_dst_fanin=None
+        )
+        return p.select(
+            "a", "b", "n_common",
+            F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"),
+        )
+
     def host_top_pages(spark, sf):
         """Each host's top-2 pages by 2-iteration PageRank (integer-e6
         ordering), selected with the skew-safe salted top-k."""
@@ -1435,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": host_pagerank,
         "host_features": host_features,
         "host_top_pages": host_top_pages,
+        "host_mirrors": host_mirrors,
         "dedup_exact": dedup_exact,
         "dedup_paragraphs": dedup_paragraphs,
         "url_canonical": url_canonical,
@@ -2671,6 +2689,22 @@ SELECT COUNT(*) AS n_tail,
        CAST(ROUND((1.0 + COUNT(*) / SUM(LN(k / 2.5))) * 1e6) AS BIGINT) AS alpha_e6
 FROM tail
 """
+    HOSTMIRROR = f"""
+WITH e AS MATERIALIZED ({E}), v AS MATERIALIZED ({V}),
+m AS (SELECT id, id % {N_HOSTS} AS h FROM v),
+he AS (SELECT DISTINCT ms.h AS src, md.h AS dst
+       FROM e JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst
+       WHERE ms.h <> md.h),
+sz AS (SELECT src, COUNT(*) AS sz FROM he GROUP BY src),
+pr AS (SELECT x.src AS a, y.src AS b, COUNT(*) AS n_common
+       FROM he x JOIN he y ON x.dst = y.dst AND x.src < y.src
+       GROUP BY a, b)
+SELECT a, b, n_common,
+  CAST(ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 1e6)
+    AS BIGINT) AS jaccard_e6
+FROM pr JOIN sz sa ON sa.src = a JOIN sz sb ON sb.src = b
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+"""
     # ---- whole-graph summary: reciprocity + out-in degree assortativity
     # (population-moment Pearson, same formula the Spark side uses)
     GSTATS = f"""
@@ -2791,6 +2825,7 @@ FROM c, rc, ag
         "degree_powerlaw": POWERLAW,
         "host_features": HOSTFEAT,
         "host_top_pages": HOSTTOP,
+        "host_mirrors": HOSTMIRROR,
         "host_pagerank": HOSTPR,
         "dedup_exact": (
             "SELECT keep_id, COUNT(*) AS group_size FROM "

@@ -1138,3 +1138,55 @@ def katz_centrality(
     e.unpersist()
     norm = float(state.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).first()[0])
     return state.select("id", (F.col("x") / F.lit(norm)).alias("katz"))
+
+
+def host_mirror_pairs(
+    edges: DataFrame,
+    mapping: DataFrame,
+    threshold: float = 0.8,
+    max_dst_fanin: int | None | str = "auto",
+) -> DataFrame:
+    """Mirror/duplicate-host detection (Bharat & Broder 1999, "Mirror,
+    mirror on the Web"): hosts whose DISTINCT external outlink-host sets
+    overlap with Jaccard >= threshold — the structure-only signal that two
+    hosts serve the same site (mirrors, aliases, parked duplicates), used
+    to collapse them before ranking double-counts their links.
+
+    ``mapping`` is (id, group) page→host. Pair generation is the
+    bibliographic-coupling inverted index over the host graph (shared
+    outlink-host = candidate), with the same fan-in cap discipline: a
+    target host linked by everyone (a CDN, a social widget) is excluded
+    from CANDIDATE GENERATION and from the intersection count, making the
+    reported jaccard a lower bound under the cap; ``max_dst_fanin=None``
+    is exact. Returns (a, b, n_common, jaccard) with a < b.
+
+    Cost: the host graph is |hosts|²-free — one contract_graph rollup,
+    one distinct, the capped self-join keyed on the shared target, and
+    two size joins. All O(host edges), no page-level pair ever forms.
+    """
+    from pagerank_spark.algorithms.structure import contract_graph
+
+    he = contract_graph(edges, mapping, drop_internal=True).select("src", "dst")
+    hset = he.distinct()
+    sizes = hset.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = bibliographic_coupling(
+        hset, min_count=1, max_dst_fanin=max_dst_fanin
+    )
+    sa = sizes.select(F.col("src").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("src").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_common_dst").alias("n_common"),
+            (
+                F.col("n_common_dst")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common_dst")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -996,3 +996,37 @@ def test_katz_centrality_exact(spark, name):
     assert set(got) == set(range(n))
     for i in range(n):
         assert abs(got[i] - x[i]) < 1e-12
+
+
+def test_host_mirror_pairs_planted(spark):
+    """Two planted mirror hosts (identical external outlink sets) are
+    found with jaccard 1.0; a partially-overlapping host scores its exact
+    set Jaccard; intra-host links are ignored."""
+    from pagerank_spark.algorithms.linkanalysis import host_mirror_pairs
+
+    # hosts: pages 0-1 -> host 0 (mirror A), 2-3 -> host 1 (mirror B),
+    # 4 -> host 2 (partial), targets on hosts 10..14 (pages 100+)
+    mapping_rows = [(0, 0), (1, 0), (2, 1), (3, 1), (4, 2)] + [
+        (100 + t, 10 + t) for t in range(5)
+    ]
+    mapping = spark.createDataFrame(mapping_rows, "id long, group long")
+    edges_rows = (
+        [(0, 100), (0, 101), (1, 102)]       # host0 -> {10,11,12}
+        + [(2, 100), (3, 101), (3, 102)]     # host1 -> {10,11,12} (mirror)
+        + [(4, 100), (4, 101), (4, 103)]     # host2 -> {10,11,13}
+        + [(0, 1), (2, 3)]                   # intra-host (ignored)
+    )
+    e = spark.createDataFrame(edges_rows, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): (r["n_common"], round(r["jaccard"], 9))
+        for r in host_mirror_pairs(e, mapping, threshold=0.0, max_dst_fanin=None).collect()
+    }
+    assert got[(0, 1)] == (3, 1.0)
+    assert got[(0, 2)] == (2, 0.5)  # |{10,11}| / |{10,11,12,13}|
+    assert got[(1, 2)] == (2, 0.5)
+    # high threshold keeps only the true mirror
+    strict = {
+        (r["a"], r["b"])
+        for r in host_mirror_pairs(e, mapping, threshold=0.8, max_dst_fanin=None).collect()
+    }
+    assert strict == {(0, 1)}
