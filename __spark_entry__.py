@@ -459,6 +459,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"),
         )
 
+    def url_structure(spark, sf):
+        """URL-structure frontier features over deterministic synthetic
+        urls (4 path/query shapes from orders)."""
+        _spark_ready(spark)
+        from pagerank_spark.functions.urls import url_features
+
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        k = F.col("o_orderkey")
+        tail = (
+            F.when(k % 4 == 0, F.lit(""))
+            .when(k % 4 == 1, F.lit("/"))
+            .when(k % 4 == 2, F.concat(F.lit("/a/"), k.cast("string")))
+            .otherwise(
+                F.concat(
+                    F.lit("/p/q/"), k.cast("string"),
+                    F.lit("?x=1&y="), (F.col("o_custkey") % 50).cast("string"),
+                )
+            )
+        )
+        urls = o.select(
+            F.col("o_orderkey").alias("doc_id"),
+            F.concat(
+                F.lit("https://h"), (F.col("o_custkey") % 50).cast("string"),
+                F.lit(".example.com"), tail,
+            ).alias("url"),
+        )
+        return url_features(urls).select(
+            "doc_id", "path_depth", "n_params", "is_homepage", "path_len"
+        )
+
     def host_top_pages(spark, sf):
         """Each host's top-2 pages by 2-iteration PageRank (integer-e6
         ordering), selected with the skew-safe salted top-k."""
@@ -1453,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_features": host_features,
         "host_top_pages": host_top_pages,
         "host_mirrors": host_mirrors,
+        "url_structure": url_structure,
         "dedup_exact": dedup_exact,
         "dedup_paragraphs": dedup_paragraphs,
         "url_canonical": url_canonical,
@@ -2705,6 +2736,30 @@ SELECT a, b, n_common,
 FROM pr JOIN sz sa ON sa.src = a JOIN sz sb ON sb.src = b
 WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
 """
+    URLSTRUCT = r"""
+WITH u AS (
+  SELECT o_orderkey AS doc_id,
+         'https://h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com' ||
+         CASE CAST(o_orderkey % 4 AS INTEGER)
+           WHEN 0 THEN ''
+           WHEN 1 THEN '/'
+           WHEN 2 THEN '/a/' || CAST(o_orderkey AS VARCHAR)
+           ELSE '/p/q/' || CAST(o_orderkey AS VARCHAR) || '?x=1&y='
+                || CAST(o_custkey % 50 AS VARCHAR)
+         END AS url
+  FROM orders),
+px AS (SELECT doc_id,
+       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^#]*?\?([^#]*)', 1) AS query
+       FROM u)
+SELECT doc_id,
+  CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS INTEGER) AS path_depth,
+  CAST(CASE WHEN query = '' THEN 0
+       ELSE len(list_filter(string_split(query, '&'), x -> x <> '')) END AS INTEGER) AS n_params,
+  ((path = '' OR path = '/') AND query = '') AS is_homepage,
+  CAST(length(path) AS INTEGER) AS path_len
+FROM px
+"""
     # ---- whole-graph summary: reciprocity + out-in degree assortativity
     # (population-moment Pearson, same formula the Spark side uses)
     GSTATS = f"""
@@ -2826,6 +2881,7 @@ FROM c, rc, ag
         "host_features": HOSTFEAT,
         "host_top_pages": HOSTTOP,
         "host_mirrors": HOSTMIRROR,
+        "url_structure": URLSTRUCT,
         "host_pagerank": HOSTPR,
         "dedup_exact": (
             "SELECT keep_id, COUNT(*) AS group_size FROM "

@@ -105,3 +105,36 @@ def canonicalize_urls(
     return df.withColumn("canonical_url", canonical_url(u, strip_www)).withColumn(
         "host", url_host(u, strip_www)
     )
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-prioritization url-structure features (pure Column regex in
+    the Java∩RE2 dialect — map-only, SQL-reproducible): adds
+
+    - ``path_depth``: number of non-empty path segments ('/a/b/' → 2;
+      homepage → 0)
+    - ``n_params``: query parameters ('?a=1&b=2' → 2; no query → 0)
+    - ``is_homepage``: empty or '/' path and no query
+    - ``path_len``: characters in the path (query/fragment excluded)
+
+    Deep paths and parameter-heavy urls correlate with calendar traps and
+    faceted-navigation spider traps — the standard frontier-demotion
+    features next to ``frontier_priority``'s score/staleness terms.
+    """
+    u = F.col(url_col)
+    # path = rest up to '?' or '#'
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^#]*?\?([^#]*)", 1)
+    seg = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
+    n_params = F.when(query == "", 0).otherwise(
+        F.size(F.filter(F.split(query, "&"), lambda x: x != ""))
+    )
+    return (
+        df.withColumn("path_depth", seg.cast("int"))
+        .withColumn("n_params", n_params.cast("int"))
+        .withColumn(
+            "is_homepage",
+            ((path == "") | (path == "/")) & (query == ""),
+        )
+        .withColumn("path_len", F.length(path).cast("int"))
+    )

@@ -76,3 +76,24 @@ def test_urls_stay_jvm_side(spark):
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_node not in plan
     assert "Exchange" not in plan
+
+
+def test_url_features_hand_cases(spark):
+    from pagerank_spark.functions.urls import url_features
+
+    cases = [
+        (0, "https://example.com", 0, 0, True, 0),
+        (1, "https://example.com/", 0, 0, True, 1),
+        (2, "https://example.com/a/b/c", 3, 0, False, 6),
+        (3, "https://example.com/a/b/?x=1&y=2", 2, 2, False, 5),
+        (4, "http://example.com/?", 0, 0, True, 1),  # bare ? == no query
+        (5, "https://example.com/p?x=1#frag", 1, 1, False, 2),
+        (6, "https://example.com/cal/2026/08/19?view=day&tz=utc", 4, 2, False, 15),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, *_ in cases], "doc_id long, url string"
+    )
+    got = {r["doc_id"]: (r["path_depth"], r["n_params"], r["is_homepage"], r["path_len"])
+           for r in url_features(df).collect()}
+    for i, _, d, p, h, L in cases:
+        assert got[i] == (d, p, h, L), (i, got[i])
