@@ -489,6 +489,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "path_depth", "n_params", "is_homepage", "path_len"
         )
 
+    def partition_skew(spark, sf):
+        """Shuffle-skew audit of the driver graph's dst partitioning."""
+        _spark_ready(spark)
+        from pagerank_spark.graph.skew import partition_skew_report
+
+        return partition_skew_report(_edges(spark, sf), key="dst", n_buckets=16)
+
     def host_top_pages(spark, sf):
         """Each host's top-2 pages by 2-iteration PageRank (integer-e6
         ordering), selected with the skew-safe salted top-k."""
@@ -1484,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_top_pages": host_top_pages,
         "host_mirrors": host_mirrors,
         "url_structure": url_structure,
+        "partition_skew": partition_skew,
         "dedup_exact": dedup_exact,
         "dedup_paragraphs": dedup_paragraphs,
         "url_canonical": url_canonical,
@@ -2760,6 +2768,17 @@ SELECT doc_id,
   CAST(length(path) AS INTEGER) AS path_len
 FROM px
 """
+    SKEWREP = f"""
+WITH e AS ({E}),
+b AS (SELECT ('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 15))::UBIGINT % 16
+        AS bucket FROM e),
+per AS (SELECT bucket, COUNT(*) AS rows_ FROM b GROUP BY bucket)
+SELECT COUNT(*) AS n_buckets_used, MAX(rows_) AS max_rows,
+       SUM(rows_) AS total_rows,
+       CAST(ROUND(MAX(rows_) / (SUM(rows_) / CAST(16.0 AS DOUBLE)) * 1e2)
+         AS BIGINT) AS skew_e2
+FROM per
+"""
     # ---- whole-graph summary: reciprocity + out-in degree assortativity
     # (population-moment Pearson, same formula the Spark side uses)
     GSTATS = f"""
@@ -2882,6 +2901,7 @@ FROM c, rc, ag
         "host_top_pages": HOSTTOP,
         "host_mirrors": HOSTMIRROR,
         "url_structure": URLSTRUCT,
+        "partition_skew": SKEWREP,
         "host_pagerank": HOSTPR,
         "dedup_exact": (
             "SELECT keep_id, COUNT(*) AS group_size FROM "

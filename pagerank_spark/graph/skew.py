@@ -50,3 +50,41 @@ def salted_sum(
         .agg(F.sum("_v").alias("_partial"))
     )
     return partial.groupBy(key).agg(F.sum("_partial").alias(out))
+
+
+def partition_skew_report(
+    edges, key: str = "dst", n_buckets: int = 32
+):
+    """One-row shuffle-skew audit for a planned hash partitioning: bucket
+    the edge table by the engine's cross-engine md5-60 hash of ``key`` mod
+    ``n_buckets`` (a deterministic stand-in for the shuffle partitioner)
+    and report (n_buckets_used, max_rows, total_rows, skew_e2) where
+    skew = max bucket / ideal-even bucket. skew ≈ 1.0 means the planned
+    ``repartition(n, key)`` balances; skew >> 1 is the hub-vertex signal
+    that the salted/split paths (this module) exist for — measured BEFORE
+    paying for the real shuffle.
+
+    One partial-aggregated pass; the md5 convention makes the report
+    byte-reproducible in SQL.
+    """
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.util import md5_hash60
+
+    per = (
+        edges.select(
+            F.pmod(md5_hash60(F.col(key)), F.lit(int(n_buckets))).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.max("rows").alias("max_rows"),
+        F.sum("rows").alias("total_rows"),
+        F.round(
+            F.max("rows") / (F.sum("rows") / F.lit(float(n_buckets))) * 1e2
+        )
+        .cast("long")
+        .alias("skew_e2"),
+    )

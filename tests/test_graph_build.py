@@ -154,3 +154,19 @@ def test_edge_diff_and_degree_delta(spark):
     # symmetric sanity: diffing a snapshot against itself is empty
     assert edge_diff(new, new).isEmpty()
     assert degree_delta(new, new).isEmpty()
+
+
+def test_partition_skew_report(spark):
+    """A single-hub edge table reports skew ~= n_buckets (everything lands
+    in one bucket); a spread table reports low skew; totals always add up."""
+    from pagerank_spark.graph.skew import partition_skew_report
+
+    hub = spark.createDataFrame([(i, 7) for i in range(1000)], "src long, dst long")
+    r = partition_skew_report(hub, key="dst", n_buckets=16).first()
+    assert r["n_buckets_used"] == 1 and r["max_rows"] == 1000
+    assert r["total_rows"] == 1000 and r["skew_e2"] == 1600
+
+    spread = spark.createDataFrame([(i, i) for i in range(4000)], "src long, dst long")
+    r2 = partition_skew_report(spread, key="dst", n_buckets=16).first()
+    assert r2["total_rows"] == 4000 and r2["n_buckets_used"] == 16
+    assert r2["skew_e2"] < 150  # md5-uniform spread stays near 1.0
