@@ -35,17 +35,19 @@ Three physical strategies:
   into a single aggregate, mirroring the reference's fused `getDelta`
   copy+residual kernel).
 
-- ``mode="broadcast"`` — the single-iteration-latency path, all JVM-side:
-  weighted edges are hash-partitioned by ``dst`` once and persisted; each
-  iteration broadcast-hash-joins the (non-dangling) rank rows against them
-  and aggregates by ``dst`` with NO exchange (the persisted partitioning
-  already satisfies the aggregate's distribution requirement), entirely
-  inside whole-stage codegen. The driver pulls the ≤n contrib rows back via
-  Arrow and advances the scalars. Per-iteration throughput matches the
-  dataframe mode (bench `broadcast_per_iter_vs_df` ≈ 1.0 at sf0.1) while
-  the rank vector fits in a broadcast (~1e8 vertices); kept as the
-  JVM-only execution path and for API parity — csr dominates both on
-  throughput and is what `mode="auto"` picks.
+- ``mode="broadcast"`` — the zero-shuffle path, all JVM-side: weighted
+  edges are hash-partitioned by ``dst`` once and persisted; each iteration
+  broadcast-hash-joins the non-dangling rank rows against them, aggregates
+  by ``dst`` with NO exchange (the persisted partitioning already satisfies
+  the aggregate's distribution requirement), and the rank-update join
+  consumes hash(id) × hash(dst) — zero shuffle exchanges per iteration,
+  entirely inside whole-stage codegen (audited by
+  tests/test_plans.py::test_pagerank_broadcast_iteration_zero_shuffle).
+  The rank state stays JVM-side (same checkpointed-state machinery as the
+  dataframe mode); the driver pulls only the 3 per-iteration scalars
+  (delta, dangling mass, total mass). Appropriate while the rank relation
+  fits in a broadcast (~1e8 vertices); kept for API parity — csr dominates
+  on throughput and is what `mode="auto"` picks at that vertex scale.
 
 - ``mode="csr"`` — the throughput path: edges are blocked by interleaved
   destination stripes (``dst % nblocks``; hubs further split by src — see
@@ -279,21 +281,39 @@ class PageRank:
     BROADCASTABLE_N = _util.BROADCAST_SAFE_ROWS
 
     # ------------------------------------------------------- dataframe path
-    def _df_iteration(self, ew, state, n: int, dmass: float, total: float, no_bcast):
+    def _df_iteration(
+        self, ew, state, n: int, dmass: float, total: float, no_bcast,
+        bcast: bool = False,
+    ):
         """One power-iteration step as a DataFrame plan.
 
-        Physical cost is a SINGLE shuffle exchange (the contribution
-        aggregation): the contribution join consumes the edge cache's
-        hash(src) and the state checkpoint's hash(id) partitionings, and
-        the rank-update left join consumes hash(id) × the aggregation
-        output's hash(dst) — EnsureRequirements inserts no exchange for
-        either, PROVIDED the state checkpoint was compiled under
-        util.static_plan (AQE-compiled checkpoints record
+        ``bcast=False`` (dataframe mode): physical cost is a SINGLE shuffle
+        exchange (the contribution aggregation): the contribution join
+        consumes the edge cache's hash(src) and the state checkpoint's
+        hash(id) partitionings, and the rank-update left join consumes
+        hash(id) × the aggregation output's hash(dst) — EnsureRequirements
+        inserts no exchange for either, PROVIDED the state checkpoint was
+        compiled under util.static_plan (AQE-compiled checkpoints record
         UnknownPartitioning and regress this plan to 3 exchanges). Audited
-        by tests/test_plans.py::test_pagerank_df_iteration_single_exchange."""
+        by tests/test_plans.py::test_pagerank_df_iteration_single_exchange.
+
+        ``bcast=True`` (broadcast mode): ZERO shuffle exchanges — the
+        contribution join broadcasts the non-dangling rank rows against the
+        hash(dst)-partitioned edge cache, the groupBy(dst) aggregates on the
+        cache's partitioning in place (broadcast joins preserve the streamed
+        side's partitioning), and the rank-update join consumes hash(id) ×
+        hash(dst) as above. Dangling rows never match an edge src, so they
+        are filtered out of the broadcast relation rather than shipped.
+        Audited by test_pagerank_broadcast_iteration_zero_shuffle."""
         c = self.c
-        joined = ew.join(no_bcast(state.select("id", "rank")), ew.src == F.col("id"))
-        if self.salt_partitions:
+        if bcast:
+            ranks_in = F.broadcast(
+                state.filter(F.col("non_dangling")).select("id", "rank")
+            )
+        else:
+            ranks_in = no_bcast(state.select("id", "rank"))
+        joined = ew.join(ranks_in, ew.src == F.col("id"))
+        if self.salt_partitions and not bcast:
             from pagerank_spark.graph.skew import salted_sum
 
             contribs = salted_sum(
@@ -319,7 +339,8 @@ class PageRank:
         )
 
     def _run_dataframe(
-        self, edges: DataFrame, n: int, run_id: str, resume: bool
+        self, edges: DataFrame, n: int, run_id: str, resume: bool,
+        bcast: bool = False,
     ) -> PageRankResult:
         spark = edges.sparkSession
         eps = self.eps
@@ -328,13 +349,16 @@ class PageRank:
         def no_bcast(df: DataFrame) -> DataFrame:
             return df if n <= self.BROADCASTABLE_N else df.hint("shuffle_hash")
 
-        # outdegree + edge weights, built once. Partition edges by src so the
-        # per-iteration join only shuffles the (small) rank side.
+        # outdegree + edge weights, built once. Dataframe mode partitions
+        # edges by src so the per-iteration contribution join only shuffles
+        # the (small) rank side; broadcast mode partitions by dst so the
+        # contribution groupBy(dst) aggregates on the cache's partitioning
+        # with no exchange at all (the rank side arrives via broadcast).
         degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         ew = (
             edges.join(no_bcast(degrees), "src")
             .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
-            .repartition(shuffle_p, "src")
+            .repartition(shuffle_p, "dst" if bcast else "src")
             .persist()
         )
         m = ew.count()  # materialize; also the per-iteration shuffle volume
@@ -394,7 +418,7 @@ class PageRank:
             # this iteration's rank-update join plan no state re-exchange
             with _util.static_plan(spark):
                 new_state = self._df_iteration(
-                    ew, state, n, dmass, total, no_bcast
+                    ew, state, n, dmass, total, no_bcast, bcast=bcast
                 ).localCheckpoint(eager=True)
             # single fused scan over the checkpoint: residual + next
             # dangling/total mass (getDelta analog)
@@ -411,7 +435,8 @@ class PageRank:
             wall = time.time() - t0
             iter_secs.append(wall)
             self._checkpoint_and_log(
-                spark, run_id, it, state, delta, dmass, total, m, wall
+                spark, run_id, it, state, delta, dmass, total, m, wall,
+                mode="broadcast" if bcast else "dataframe",
             )
             if delta < eps:
                 break
@@ -425,103 +450,21 @@ class PageRank:
     def _run_broadcast(
         self, edges: DataFrame, n: int, run_id: str, resume: bool
     ) -> PageRankResult:
-        spark = edges.sparkSession
-        sc = spark.sparkContext
-        c, eps = self.c, self.eps
-        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        """Broadcast mode = the dataframe driver with the broadcast physical
+        strategy (see _df_iteration bcast=True): edges cached hash(dst), the
+        rank rows shipped per iteration via a JVM broadcast exchange, zero
+        shuffle exchanges per iteration, and the driver pulling only the 3
+        per-iteration scalars (delta, dangling mass, total mass).
 
-        degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-        deg_j = (
-            degrees if n <= self.BROADCASTABLE_N else degrees.hint("shuffle_hash")
-        )  # see BROADCASTABLE_N: O(n) side must not be broadcast at large n
-        ew = (
-            edges.join(deg_j, "src")
-            .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
-            .repartition(p, "dst")
-            .persist()
-        )
-        m = ew.count()
-
-        deg_tbl = degrees.toArrow()
-        outdeg = np.zeros(n)
-        outdeg[deg_tbl.column("src").to_numpy()] = deg_tbl.column(
-            "outdeg"
-        ).to_numpy()
-        dangling = outdeg == 0.0
-        nz_ids = np.nonzero(~dangling)[0].astype(np.int64)
-
-        pi = self._init_vector(n)
-        start_iter = 0
-        if resume and self.catalog is not None:
-            resumed = self._try_resume_vector(spark, run_id, n)
-            if resumed is not None:
-                pi, start_iter = resumed
-
-        # Seed DF for executor-side rank materialization: the per-iteration
-        # rank rows are NOT shipped driver->JVM as a local relation (measured
-        # ~1s/iteration re-upload for 3e5 rows); instead the driver publishes
-        # the packed vector as a torrent broadcast and ONE executor task
-        # expands it to rows, which the broadcast-hash-join then distributes.
-        one = spark.range(0, 1, 1, 1).persist()
-        one.count()
-
-        deltas: list[float] = []
-        iter_secs: list[float] = []
-        it = start_iter
-        for it in range(start_iter + 1, self.max_iter + 1):
-            t0 = time.time()
-            rw = pi[nz_ids] / outdeg[nz_ids]
-            b_rw = sc.broadcast((nz_ids, rw))
-
-            def gen_ranks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-                ids, r = b_rw.value
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(ids, type=pa.int64()),
-                        pa.array(r, type=pa.float64()),
-                    ],
-                    names=["src", "r"],
-                )
-
-            ranks_df = one.mapInArrow(gen_ranks, "src long, r double")
-            # r already carries 1/outdeg (folded driver-side), so the edge
-            # contribution is just r; broadcast join + partial agg, and the
-            # final agg needs no exchange (ew is hash-partitioned by dst).
-            contribs = (
-                ew.join(F.broadcast(ranks_df), "src")
-                .groupBy("dst")
-                .agg(F.sum(F.col("r")).alias("contrib"))
-            )
-            tbl = contribs.toArrow()
-            b_rw.destroy()
-            contrib = np.zeros(n)
-            contrib[tbl.column("dst").to_numpy()] = tbl.column("contrib").to_numpy()
-
-            dmass = pi[dangling].sum()
-            new = c * (contrib + dmass / n) + (1.0 - c) / n * pi.sum()
-            delta = float(np.abs(new - pi).sum())
-            pi = new
-            deltas.append(delta)
-            wall = time.time() - t0
-            iter_secs.append(wall)
-            if self.catalog is not None and it % self.checkpoint_interval == 0:
-                self._checkpoint_vector(spark, run_id, it, pi)
-            if self.lineage is not None:
-                self.lineage.log_iteration(
-                    run_id, it, rows_shuffled=m, residual_l1=delta,
-                    wall_time_s=wall,
-                    extra={"dangling_mass": dmass, "mode": "broadcast"},
-                )
-            if delta < eps:
-                break
-
-        pi = pi / np.abs(pi).sum()
-        ew.unpersist()
-        one.unpersist()
-        tbl = pa.table({"id": np.arange(n, dtype=np.int64), "rank": pi})
-        ranks = spark.createDataFrame(tbl.to_pandas())
-        tput = m / (sum(iter_secs) / len(iter_secs)) if iter_secs else 0.0
-        return PageRankResult(ranks, it, deltas, run_id, tput, iter_secs)
+        Earlier versions kept the rank vector driver-resident (numpy) and
+        pulled the full O(V) contribution table back through Arrow every
+        iteration — measured at 0.785x dataframe-mode per-iteration
+        throughput at sf0.1 and a scale ceiling by construction. The rank
+        state now stays JVM-side end to end; only the broadcast of the O(V)
+        rank relation bounds the mode (~1e8 vertices at 16 B/row), which is
+        the same bound the old design had, without the per-iteration driver
+        round-trip."""
+        return self._run_dataframe(edges, n, run_id, resume, bcast=True)
 
     # -------------------------------------------------------------- csr path
     def _run_csr(
@@ -1076,7 +1019,8 @@ class PageRank:
         return ranks.select("id", (F.col("rank") / F.lit(total)).alias("rank"))
 
     def _checkpoint_and_log(
-        self, spark, run_id, it, state, delta, dmass, total, m, wall
+        self, spark, run_id, it, state, delta, dmass, total, m, wall,
+        mode: str = "dataframe",
     ) -> None:
         snap = None
         if self.catalog is not None and it % self.checkpoint_interval == 0:
@@ -1095,7 +1039,7 @@ class PageRank:
             self.lineage.log_iteration(
                 run_id, it, rows_shuffled=m, residual_l1=delta, wall_time_s=wall,
                 snapshot=str(snap) if snap is not None else None,
-                extra={"dangling_mass": dmass, "total_mass": total, "mode": "dataframe"},
+                extra={"dangling_mass": dmass, "total_mass": total, "mode": mode},
                 partition_counts=self.lineage.partition_counts(state)
                 if self.lineage.per_partition
                 else None,
@@ -1127,8 +1071,10 @@ class PageRank:
         meta = self.catalog.current_meta(table)
         if meta is None:
             return None
-        rows = self.catalog.read(spark, table).collect()
+        # Arrow batch transfer, not per-row Row materialization: the resumed
+        # vector is O(n) and collect() would build n Row objects on the
+        # driver (same convention as _checkpoint_vector's pa.table path).
+        tbl = self.catalog.read(spark, table).select("id", "rank").toArrow()
         pi = np.zeros(n)
-        for r in rows:
-            pi[r["id"]] = r["rank"]
+        pi[tbl.column("id").to_numpy()] = tbl.column("rank").to_numpy()
         return pi, int(meta.summary["iteration"])

@@ -471,7 +471,9 @@ def cmd_vacuum(args) -> int:
     report = {}
     for table in sorted(os.listdir(args.warehouse_dir)):
         if os.path.isdir(os.path.join(args.warehouse_dir, table, "metadata")):
-            r = cat.expire_snapshots(table, keep_last=args.keep)
+            r = cat.expire_snapshots(
+                table, keep_last=args.keep, orphan_ttl_s=args.orphan_ttl
+            )
             report[table] = {
                 "expired": len(r["expired_snapshots"]),
                 "deleted_dirs": len(r["deleted_dirs"]),
@@ -660,6 +662,11 @@ def main(argv: list[str] | None = None) -> int:
     vc = sub.add_parser("vacuum", help="expire old snapshots + orphan data dirs")
     vc.add_argument("--warehouse-dir", required=True)
     vc.add_argument("--keep", type=int, default=2)
+    vc.add_argument(
+        "--orphan-ttl", type=float, default=86400.0,
+        help="age in seconds before uncommitted manifests / manifest-less "
+        "data dirs are deleted (0 = immediate; single-writer only)",
+    )
     vc.set_defaults(fn=cmd_vacuum)
 
     gs = sub.add_parser("summary", help="whole-graph summary stats")

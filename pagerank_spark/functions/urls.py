@@ -120,8 +120,15 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     Deep paths and parameter-heavy urls correlate with calendar traps and
     faceted-navigation spider traps — the standard frontier-demotion
     features next to ``frontier_priority``'s score/staleness terms.
+
+    Non-absolute urls (schemeless, relative, malformed) get NULL numeric
+    features and ``is_homepage=false``: the extractors below would return
+    path='' and query='' for them, which reads as the strongest-priority
+    homepage shape — exactly the rows a frontier must NOT promote on parse
+    garbage.
     """
     u = F.col(url_col)
+    absolute = u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
     # path = rest up to '?' or '#'
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     query = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^#]*?\?([^#]*)", 1)
@@ -129,12 +136,21 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     n_params = F.when(query == "", 0).otherwise(
         F.size(F.filter(F.split(query, "&"), lambda x: x != ""))
     )
+    null_int = F.lit(None).cast("int")
     return (
-        df.withColumn("path_depth", seg.cast("int"))
-        .withColumn("n_params", n_params.cast("int"))
+        df.withColumn(
+            "path_depth", F.when(absolute, seg.cast("int")).otherwise(null_int)
+        )
+        .withColumn(
+            "n_params",
+            F.when(absolute, n_params.cast("int")).otherwise(null_int),
+        )
         .withColumn(
             "is_homepage",
-            ((path == "") | (path == "/")) & (query == ""),
+            absolute & ((path == "") | (path == "/")) & (query == ""),
         )
-        .withColumn("path_len", F.length(path).cast("int"))
+        .withColumn(
+            "path_len",
+            F.when(absolute, F.length(path).cast("int")).otherwise(null_int),
+        )
     )

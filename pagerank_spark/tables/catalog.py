@@ -172,12 +172,26 @@ class Catalog:
         return spark.read.parquet(*paths)
 
     # -- maintenance ---------------------------------------------------------
-    def expire_snapshots(self, table: str, keep_last: int = 2) -> dict:
-        """Iceberg-style snapshot expiry + orphan cleanup: keep the newest
-        ``keep_last`` snapshots (always including current), delete older
-        manifests, then remove every data directory no retained manifest
-        references — including dangling snap dirs from crashed mid-commit
-        writes (the pointer never flipped, so nothing references them).
+    def expire_snapshots(
+        self, table: str, keep_last: int = 2, orphan_ttl_s: float = 86400.0
+    ) -> dict:
+        """Iceberg-style snapshot expiry + orphan cleanup.
+
+        Keeps the last ``keep_last`` COMMITTED snapshots — found by walking
+        the parent chain from the current pointer, not by taking the top-N
+        manifest ids: a dangling manifest from a crash between manifest
+        write and pointer flip has an id above current but was never
+        committed, and must not consume a retention slot while a committed
+        ancestor is expired. Committed ancestors beyond ``keep_last`` are
+        expired immediately (they are superseded by definition).
+
+        Uncommitted manifests and manifest-less data dirs are deleted only
+        once older than ``orphan_ttl_s`` (Iceberg's delete-orphan-files
+        convention, default 24h): a CONCURRENT ``write()`` that has written
+        its data dir — or its manifest — but not yet flipped the pointer
+        looks identical to crash debris, and the age gate is what makes
+        cleanup safe to run next to live writers. Pass ``orphan_ttl_s=0``
+        only when the caller is provably the single writer.
 
         Long-running recrawl loops checkpoint every iteration; without
         expiry the warehouse grows by one snapshot per iteration forever.
@@ -196,11 +210,47 @@ class Catalog:
         if cur is None:
             return {"expired_snapshots": [], "deleted_dirs": [], "kept_snapshots": []}
         snaps = self.snapshots(table)
-        keep = set(snaps[-keep_last:]) | {cur.snapshot_id}
-        expired = [s for s in snaps if s not in keep]
 
+        # committed chain: current snapshot and its ancestors, newest first
+        chain: list[int] = []
+        node: TableMeta | None = cur
+        while node is not None:
+            chain.append(node.snapshot_id)
+            if node.parent_id is None:
+                break
+            try:
+                node = self.snapshot_meta(table, node.parent_id)
+            except FileNotFoundError:  # ancestor expired by an earlier run
+                break
+        committed = set(chain)
+        keep = set(chain[:keep_last])
+
+        now_ms = time.time() * 1000.0
+        expired: list[int] = []
+        debris_dirs: set[str] = set()
+        for s in snaps:
+            if s in keep:
+                continue
+            if s in committed:
+                expired.append(s)  # superseded committed ancestor
+                continue
+            # not reachable from current: crashed commit OR a concurrent
+            # write whose pointer flip hasn't landed — age-gate it
+            with open(os.path.join(self._meta_dir(table), f"v{s}.json")) as f:
+                m = json.load(f)
+            if now_ms - m.get("timestamp_ms", 0) >= orphan_ttl_s * 1000.0:
+                expired.append(s)
+                # the manifest's timestamp (write time) already passed the
+                # gate, so its data dirs are deletable in this same pass —
+                # the dir's own mtime would otherwise defer them a vacuum
+                dirs = json.loads(
+                    m.get("summary", {}).get("data_dirs", "[]")
+                ) or [m.get("data_dir")]
+                debris_dirs.update(d for d in dirs if d)
+
+        retained = [s for s in snaps if s not in expired]
         referenced: set[str] = set()
-        for s in keep:
+        for s in retained:
             meta = self.snapshot_meta(table, s)
             dirs = json.loads(meta.summary.get("data_dirs", "[]")) or [meta.data_dir]
             referenced.update(dirs)
@@ -212,11 +262,21 @@ class Catalog:
         if os.path.isdir(data_root):
             for name in sorted(os.listdir(data_root)):
                 rel = os.path.join("data", name)
-                if rel not in referenced:
-                    shutil.rmtree(os.path.join(data_root, name))
-                    deleted.append(rel)
+                if rel in referenced:
+                    continue
+                path = os.path.join(data_root, name)
+                # manifest-less dir = in-flight write or crash debris; same
+                # age gate as above, on the directory's own mtime — unless
+                # an expired uncommitted manifest already aged it out above
+                if rel not in debris_dirs and (
+                    now_ms - os.path.getmtime(path) * 1000.0
+                    < orphan_ttl_s * 1000.0
+                ):
+                    continue
+                shutil.rmtree(path)
+                deleted.append(rel)
         return {
-            "expired_snapshots": expired,
+            "expired_snapshots": sorted(expired),
             "deleted_dirs": deleted,
-            "kept_snapshots": sorted(keep),
+            "kept_snapshots": sorted(retained),
         }

@@ -71,6 +71,33 @@ def test_resume_matches_uninterrupted(spark, cat, golden):
     np.testing.assert_allclose(got, expected, atol=1e-6)
 
 
+def test_resume_vector_uses_arrow_not_collect(spark, cat, golden):
+    """The csr/vector resume path must rebuild the rank vector via an Arrow
+    batch transfer, never a per-row collect() (O(n) Row objects on the
+    driver). collect() is poisoned for the duration; the resume must still
+    succeed and return the checkpointed vector."""
+    from pyspark.sql import DataFrame
+
+    arr, n, expected = golden
+    edges = edges_from_numpy(spark, arr)
+    pr = PageRank(max_iter=3, mode="csr", catalog=cat)
+    pr.run(edges, n, run_id="rv")
+
+    def boom(self):
+        raise AssertionError("per-row collect() on the resume path")
+
+    orig = DataFrame.collect
+    DataFrame.collect = boom
+    try:
+        resumed = pr._try_resume_vector(spark, "rv", n)
+    finally:
+        DataFrame.collect = orig
+    assert resumed is not None
+    pi, it = resumed
+    assert it == 3
+    assert pi.shape == (n,) and float(np.abs(pi).sum()) > 0.0
+
+
 def test_lineage_rows(spark, cat, golden):
     arr, n, _ = golden
     edges = edges_from_numpy(spark, arr)
@@ -110,8 +137,16 @@ def test_expire_snapshots_keeps_referenced_data(spark, tmp_path):
     os.makedirs(orphan)
     (orphan / "junk.parquet").write_bytes(b"x")
 
-    res = cat.expire_snapshots("t", keep_last=2)
-    assert res["expired_snapshots"] == [0, 1, 2]
+    # default TTL: the young orphan dir is indistinguishable from a
+    # concurrent in-flight write and must survive; committed ancestors
+    # beyond keep_last expire immediately regardless
+    res0 = cat.expire_snapshots("t", keep_last=2)
+    assert res0["expired_snapshots"] == [0, 1, 2]
+    assert not any("snap-99" in d for d in res0["deleted_dirs"])
+    assert (orphan / "junk.parquet").exists()
+
+    # ttl=0 (explicit single-writer declaration): crash debris goes
+    res = cat.expire_snapshots("t", keep_last=2, orphan_ttl_s=0)
     assert sorted(res["kept_snapshots"]) == [3, 4]
     assert any("snap-99" in d for d in res["deleted_dirs"])
     # retained snapshots fully readable (append chain intact)
@@ -130,3 +165,54 @@ def test_expire_snapshots_keeps_referenced_data(spark, tmp_path):
     res2 = cat.expire_snapshots("t", keep_last=1)
     assert res2["kept_snapshots"] == [4]
     assert cat.read(spark, "t").count() == 10  # snap 4 still references snap 3's files
+
+
+def test_expire_dangling_manifest_no_keep_slot(spark, tmp_path):
+    """A manifest from a crash between manifest write and pointer flip has
+    an id ABOVE current but was never committed: it must not consume a
+    keep_last slot (retention walks the parent chain from current, not
+    top-N ids), it survives expiry while young (concurrent-writer safety),
+    and ttl=0 expires it together with its data dir."""
+    import json as _json
+    import os
+
+    from pagerank_spark.tables.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    for lo in (0, 10, 20):
+        cat.write(spark.range(lo, lo + 5), "t")  # committed snaps 0,1,2
+    # dangling snapshot 99: data dir + manifest written, pointer never flipped
+    dangling = tmp_path / "wh" / "t" / "data" / "snap-99-dead"
+    os.makedirs(dangling)
+    (dangling / "junk.parquet").write_bytes(b"x")
+    with open(tmp_path / "wh" / "t" / "metadata" / "v99.json", "w") as f:
+        _json.dump({
+            "snapshot_id": 99, "parent_id": 2, "schema_json": "{}",
+            "data_dir": "data/snap-99-dead",
+            "timestamp_ms": 0,  # ancient: past any TTL
+            "summary": {"data_dirs": _json.dumps(["data/snap-99-dead"])},
+        }, f)
+
+    res = cat.expire_snapshots("t", keep_last=2)
+    # both committed keep slots go to the chain from current (1, 2) — the
+    # dangling 99 takes none, and being ancient it is itself expired
+    assert sorted(res["kept_snapshots"]) == [1, 2]
+    assert 99 in res["expired_snapshots"] and 0 in res["expired_snapshots"]
+    assert any("snap-99" in d for d in res["deleted_dirs"])
+    assert cat.current_meta("t").snapshot_id == 2
+    assert cat.read(spark, "t", snapshot_id=1).count() == 5
+
+    # a YOUNG dangling manifest is retained along with its data dir
+    with open(tmp_path / "wh" / "t" / "metadata" / "v100.json", "w") as f:
+        _json.dump({
+            "snapshot_id": 100, "parent_id": 2, "schema_json": "{}",
+            "data_dir": "data/snap-100-live",
+            "timestamp_ms": int(__import__("time").time() * 1000),
+            "summary": {"data_dirs": _json.dumps(["data/snap-100-live"])},
+        }, f)
+    live = tmp_path / "wh" / "t" / "data" / "snap-100-live"
+    os.makedirs(live)
+    (live / "part.parquet").write_bytes(b"y")
+    res2 = cat.expire_snapshots("t", keep_last=2)
+    assert 100 not in res2["expired_snapshots"]
+    assert (live / "part.parquet").exists()

@@ -97,3 +97,19 @@ def test_url_features_hand_cases(spark):
            for r in url_features(df).collect()}
     for i, _, d, p, h, L in cases:
         assert got[i] == (d, p, h, L), (i, got[i])
+
+
+def test_url_features_non_absolute_not_homepage(spark):
+    """Schemeless/relative/malformed urls must not silently parse as
+    homepages (the strongest frontier-priority shape): numeric features go
+    NULL and is_homepage is false."""
+    from pagerank_spark.functions.urls import url_features
+
+    bad = ["example.com/a/b", "/relative/path", "mailto:x@y", "", "://nohost"]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(bad)], "doc_id long, url string"
+    )
+    for r in url_features(df).collect():
+        assert r["is_homepage"] is False, r
+        assert r["path_depth"] is None and r["n_params"] is None, r
+        assert r["path_len"] is None, r
