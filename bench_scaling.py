@@ -46,6 +46,7 @@ cores = int(sys.argv[1]); n = int(sys.argv[2]); m = int(sys.argv[3]); mode = sys
 scratch = sys.argv[5] if len(sys.argv) > 5 and sys.argv[5] != "-" else None
 nblocks = int(sys.argv[6]) if len(sys.argv) > 6 and sys.argv[6] != "0" else None
 iters = int(sys.argv[7]) if len(sys.argv) > 7 else 8
+dtype = sys.argv[8] if len(sys.argv) > 8 else "float64"
 storage = "cells"
 if ":" in mode:
     mode, storage = mode.split(":", 1)
@@ -69,7 +70,7 @@ else:
     edges = synthetic_edges(spark, n, m, seed=42, num_partitions=cores)
     pr = PageRank(mode=mode, csr_storage=storage, max_iter=iters, eps=0.0,
                   scratch_dir=scratch, reuse_pack=scratch is not None,
-                  num_blocks=nblocks)
+                  num_blocks=nblocks, rank_dtype=dtype)
     res = pr.run(edges, n)
     secs = sorted(res.iter_seconds[1:])
     med = secs[len(secs) // 2]
@@ -83,10 +84,10 @@ spark.stop()
 
 def run(cores: int, n: int, m: int, mode: str, repo: str,
         scratch: str | None, nblocks: int | None, iters: int,
-        env_extra: dict | None = None) -> dict:
+        env_extra: dict | None = None, dtype: str = "float64") -> dict:
     code = RUNNER.format(repo=repo)
     argv = [sys.executable, "-c", code, str(cores), str(n), str(m), mode,
-            scratch or "-", str(nblocks or 0), str(iters)]
+            scratch or "-", str(nblocks or 0), str(iters), dtype]
     env = dict(os.environ, **(env_extra or {}))
     out = subprocess.run(argv, capture_output=True, text=True, timeout=7200,
                          env=env)
@@ -154,6 +155,10 @@ def main() -> None:
                     help="attach one csr:cells local[32] run")
     ap.add_argument("--no-cells", dest="cells", action="store_false")
     ap.add_argument("--keep-scratch", action="store_true")
+    ap.add_argument("--fp32", action="store_true", default=True,
+                    help="attach one rank_dtype=float32 run at the highest "
+                    "core count over the same packed bytes")
+    ap.add_argument("--no-fp32", dest="fp32", action="store_false")
     ap.add_argument("--retries", type=int, default=3,
                     help="re-measure the headline pair up to this many extra "
                     "times if it lands under target, with a fresh hardware "
@@ -173,6 +178,8 @@ def main() -> None:
 
     results: dict[int, dict] = {}
     cells_run = None
+    fp32_run = None
+    fp32_err = None
     cells_err = None
     trials: list[dict] = []
     ceiling = measure_ceiling()
@@ -218,6 +225,13 @@ def main() -> None:
                                 env_extra={"SPARK_GRAFT_DRIVER_MEM": "48g"})
             except Exception as ex:  # cells is an attachment, not the evidence
                 cells_err = str(ex)[:500]
+        if args.fp32 and args.mode.startswith("csr") and scratch:
+            try:  # same packed bytes, fp32 rank broadcast/gather (attachment)
+                fp32_run = run(cores_needed[0], args.vertices, args.edges,
+                               args.mode, repo, scratch, nblocks, args.iters,
+                               dtype="float32")
+            except Exception as ex:
+                fp32_err = str(ex)[:500]
     finally:
         if scratch and not args.keep_scratch:
             shutil.rmtree(scratch, ignore_errors=True)
@@ -237,6 +251,7 @@ def main() -> None:
         "configs": {str(c): results[c] for c in cores_needed},
         "pairs": pair_rows,
         "cells_local32": cells_run,
+        "fp32_highest_cores": fp32_run,
         "hardware_ceiling": ceiling,
         # 'efficiency'/'pass' refer to the FIRST pair (the instructed
         # local[8]->local[32] point — honest headline); 'pass_any_pair'
@@ -343,6 +358,28 @@ def main() -> None:
             f"cells run failed at this edge count: {cells_err}",
             "",
         ]
+    if fp32_run is not None:
+        base = results[cores_needed[0]]["edges_per_sec_per_iter"]
+        ratio = fp32_run["edges_per_sec_per_iter"] / base if base else 0.0
+        lines += [
+            f"## rank_dtype=float32 attachment, local[{cores_needed[0]}] "
+            "(same packed bytes)",
+            "",
+            "fp32 rank broadcast + gather source, fp64 accumulation (golden",
+            "parity pinned by tests/test_pagerank.py::"
+            "test_rank_dtype_float32_golden_parity): halves the",
+            "per-iteration driver->executor broadcast (8n -> 4n bytes) and",
+            "the SpMV gather footprint.",
+            "",
+            f"median iter {fp32_run['iter_sec_med']:.3f}s = "
+            f"{fp32_run['edges_per_sec_per_iter']:,.0f} edges/s/iter "
+            f"({ratio:.2f}x the fp64 run at the same core count; "
+            f"iter seconds: {fp32_run['iter_seconds']})",
+            "",
+        ]
+    elif fp32_err:
+        lines += ["## rank_dtype=float32 attachment", "",
+                  f"fp32 run failed: {fp32_err}", ""]
     for c in sorted(results):
         lines.append(f"Raw per-iteration seconds local[{c}]: {[round(s, 2) for s in results[c]['iter_seconds']]}")
     lines += [

@@ -149,6 +149,7 @@ class PageRank:
         reuse_pack: bool = False,
         pack_key: str | None = None,
         initial_ranks: DataFrame | None = None,
+        rank_dtype: str = "float64",
     ):
         self.c = c
         self.eps = eps
@@ -196,6 +197,22 @@ class PageRank:
         # pulled to the driver via Arrow — the same O(n) footprint as the
         # rank vector those modes already hold.
         self.initial_ranks = initial_ranks
+        # rank_dtype="float32" (csr modes only): the per-iteration rank
+        # broadcast and the SpMV gather source are fp32 — half the
+        # driver->executor bytes per iteration (8n -> 4n) and half the
+        # random-gather cache footprint. ACCUMULATION STAYS fp64: the rank
+        # vector itself, the per-block bincount partials, and the residual /
+        # dangling-mass scalars are all double, so the only rounding is one
+        # fp32 quantization of r/outdeg per iteration (~6e-8 relative) — the
+        # test1.graph golden stays within its 1e-6 tolerance (parity test
+        # pins this). This is the practical half of the reference's -single
+        # mode (src/pagerank32c.c:933-938): its fp32 ACCUMULATION under
+        # nondeterministic reduce order is what breaks 1e-6 reproducibility
+        # (SURVEY §1.2), not the fp32 operand width. Ignored by the
+        # dataframe/broadcast modes (their ranks live in Spark doubles).
+        if rank_dtype not in ("float32", "float64"):
+            raise ValueError(f"rank_dtype must be float32|float64, got {rank_dtype!r}")
+        self.rank_dtype = np.float32 if rank_dtype == "float32" else np.float64
 
     def _init_vector(self, n: int) -> np.ndarray:
         """Initial rank vector for the driver-vector modes: uniform, or
@@ -854,7 +871,9 @@ class PageRank:
             t0 = time.time()
             rw = pi / np.where(outdeg > 0, outdeg, 1.0)
             rw[dangling] = 0.0
-            b_rw = sc.broadcast(rw)
+            # rank_dtype=float32 halves the broadcast and the gather source;
+            # astype(copy=False) is a no-op for the default float64
+            b_rw = sc.broadcast(rw.astype(self.rank_dtype, copy=False))
 
             def spmv(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 acc: dict[int, np.ndarray] = {}
@@ -866,7 +885,7 @@ class PageRank:
                 # blocks are large (review finding, round 2).
                 ml = block_size + n_hubs
                 sub = min(1 << 21, max(1 << 16, 4 * ml))
-                wbuf = np.empty(sub)
+                wbuf = np.empty(sub, dtype=rwv.dtype)  # matches rank_dtype
                 for batch in batches:
                     blocks = batch.column("block").to_pylist()
                     srcs = batch.column("src_bin")
@@ -913,7 +932,7 @@ class PageRank:
                 # scales with ml to keep that amortized when blocks are big.
                 ml = block_size + n_hubs
                 sub = min(1 << 21, max(1 << 16, 4 * ml))
-                wbuf = np.empty(sub)
+                wbuf = np.empty(sub, dtype=rwv.dtype)  # matches rank_dtype
                 sbuf = np.empty(sub, dtype=idx_t)
                 d16 = np.empty(sub, dtype=np.uint16)
                 dxx = np.empty(sub, dtype=idx_t)

@@ -107,6 +107,7 @@ def cmd_pagerank(args) -> int:
     pr = PageRank(
         c=args.c, eps=args.eps, max_iter=args.max_iter, mode=args.mode,
         catalog=cat, lineage=lineage,
+        rank_dtype=getattr(args, "rank_dtype", "float64"),
     )
     res = pr.run(edges, n, run_id=args.run_id, resume=args.resume)
     if args.output:
@@ -546,6 +547,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--run-id", default=None)
     pr.add_argument("--resume", action="store_true")
     pr.add_argument("--text-output", default=None)
+    pr.add_argument(
+        "--rank-dtype", default="float64", choices=["float32", "float64"],
+        help="csr modes: fp32 rank broadcast/gather with fp64 accumulation "
+        "(half the per-iteration broadcast bytes; golden-parity tested)",
+    )
     pr.set_defaults(fn=cmd_pagerank)
 
     cc = sub.add_parser("components")

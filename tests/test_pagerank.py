@@ -201,6 +201,34 @@ def test_csr_files_multichunk_rle_boundaries(spark):
     assert np.abs(got - want).max() < 1e-9
 
 
+@pytest.mark.parametrize("storage", ["cells", "files"])
+def test_rank_dtype_float32_golden_parity(spark, golden, storage):
+    """rank_dtype="float32" (fp32 rank broadcast/gather, fp64 accumulation)
+    must keep the reference golden within the same 1e-6 tolerance as the
+    fp64 path and converge in the same 7 iterations — the flag only
+    quantizes the per-iteration r/outdeg operand, never the accumulators.
+    This is what makes it safe where the reference's full -single mode
+    (src/pagerank32c.c:933-938) is not replicable (SURVEY §1.2): fp32
+    ACCUMULATION under nondeterministic reduce order breaks 1e-6."""
+    arr, n, expected = golden
+    edges, n_read = read_graph_file(spark, GOLDEN_GRAPH)
+    res = PageRank(mode="csr", csr_storage=storage, rank_dtype="float32").run(
+        edges, n_read
+    )
+    got = ranks_to_numpy(res.ranks, n_read)
+    assert res.iterations == 7
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+    # and against the fp64 NumPy oracle: fp32 operand quantization bounds
+    # the divergence at ~1 ulp of fp32 per entry, far under 1e-7
+    oracle, _, _ = pagerank_numpy(arr, n)
+    np.testing.assert_allclose(got, oracle, atol=1e-7)
+
+
+def test_rank_dtype_validation():
+    with pytest.raises(ValueError, match="rank_dtype"):
+        PageRank(rank_dtype="float16")
+
+
 def test_dataframe_mode_hints_on_large_n(spark, monkeypatch):
     """Above BROADCASTABLE_N the O(n) join sides (degrees, src_ids, contribs)
     must be shuffle_hash-hinted inside _run_dataframe itself (reproduced
