@@ -32,6 +32,34 @@ def normalize(rows, cols):
     return sorted(out)
 
 
+def type_family(t: str) -> str:
+    """Collapse a Spark/DuckDB type name to the family the driver's value
+    hash distinguishes. Integer WIDTHS hash equal (int32 vs int64 rows were
+    green in round 3), but DECIMAL/HUGEINT vs integer does NOT (the
+    partition_skew round-3 failure: DuckDB SUM(BIGINT) -> DECIMAL128 while
+    Spark returned BIGINT) — so decimals are their own family and any
+    uncast SUM in an oracle fails here instead of in the external battery."""
+    t = t.lower()
+    if t.startswith("decimal") or t.startswith("hugeint"):
+        return "decimal"
+    if t.startswith("array<") and t.endswith(">"):  # Spark spelling
+        return f"list<{type_family(t[6:-1])}>"
+    if t.endswith("[]"):  # DuckDB spelling
+        return f"list<{type_family(t[:-2])}>"
+    for fam, names in {
+        "int": ("tinyint", "smallint", "int", "bigint", "integer", "long",
+                "utinyint", "usmallint", "uinteger", "ubigint", "short", "byte"),
+        "float": ("float", "double", "real"),
+        "bool": ("boolean", "bool"),
+        "str": ("string", "varchar", "text"),
+        "binary": ("binary", "blob"),
+        "time": ("timestamp", "date"),
+    }.items():
+        if any(t.startswith(n) for n in names):
+            return fam
+    return t  # arrays/structs/maps compare verbatim
+
+
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 
@@ -55,6 +83,11 @@ def test_query_matches_oracle(spark, con, name):
     d_cols = rel.columns
     d_rows = rel.fetchall()
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch"
+    s_types = {f.name: type_family(f.dataType.simpleString()) for f in sdf.schema}
+    d_types = {c: type_family(str(t)) for c, t in zip(d_cols, rel.types)}
+    fam_diff = {c: (s_types[c], d_types[c]) for c in s_types
+                if s_types[c] != d_types.get(c)}
+    assert not fam_diff, f"{name}: type-family mismatch {fam_diff}"
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols), f"{name}: value mismatch"
 
