@@ -110,6 +110,44 @@ def _read_bytes(f, n: int) -> bytes:
     return bytes(buf)
 
 
+def _block_aligned(df: DataFrame, nblocks: int, spark) -> DataFrame:
+    """Repartition (block, ...) rows so partition i holds EXACTLY block i.
+
+    Why not the obvious calls: hash repartition by "block" collides for a
+    small key domain (several blocks on one task, others empty — iteration
+    latency = the worst task), and repartitionByRange SAMPLES its child to
+    pick boundaries, re-executing it — the pack stage writes block files as
+    a side effect and must run exactly once. Instead, probe Spark's own
+    Murmur3 to find, for each block b, a preimage key x_b with
+    pmod(hash(x_b), nblocks) == b, and hash-repartition on the remapped key:
+    one shuffle, no sampling, perfect one-block-per-task placement."""
+    probe = (
+        spark.range(0, max(4096, nblocks * 64))
+        .select(
+            F.col("id").alias("x"),
+            F.pmod(F.hash(F.col("id")), F.lit(nblocks)).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.min("x").alias("x"))
+        .collect()
+    )
+    remap = {int(r["p"]): int(r["x"]) for r in probe}
+    if len(remap) < nblocks:  # astronomically unlikely at 64x oversampling;
+        return df.repartition(nblocks, "block")  # degrade to collisions
+    mapping = F.create_map(
+        *[
+            lit
+            for b in range(nblocks)
+            for lit in (F.lit(b).cast("long"), F.lit(remap[b]).cast("long"))
+        ]
+    )
+    return (
+        df.withColumn("pkey", mapping[F.col("block")])
+        .repartition(nblocks, "pkey")
+        .drop("pkey")
+    )
+
+
 def _balanced(df: DataFrame, nblocks: int) -> DataFrame:
     """Round-robin repartition ONLY when the input partitioning is far from
     the target task count — a full shuffle of the edge set is the most
@@ -198,12 +236,15 @@ class PageRank:
         # rank vector those modes already hold.
         self.initial_ranks = initial_ranks
         # rank_dtype="float32" (csr modes only): the per-iteration rank
-        # broadcast and the SpMV gather source are fp32 — half the
-        # driver->executor bytes per iteration (8n -> 4n) and half the
-        # random-gather cache footprint. ACCUMULATION STAYS fp64: the rank
-        # vector itself, the per-block bincount partials, and the residual /
-        # dangling-mass scalars are all double, so the only rounding is one
-        # fp32 quantization of r/outdeg per iteration (~6e-8 relative) — the
+        # broadcast, the SpMV gather source, AND the contribution partials
+        # pulled back from the executors are fp32 — half the O(V) vector
+        # traffic in BOTH directions per iteration (the dominant cost once
+        # the rank vector outgrows cache). ACCUMULATION STAYS fp64: the rank
+        # vector itself, the per-block bincount partials, the driver-side
+        # stripe merge, and the residual / dangling-mass scalars are all
+        # double; block stripes are disjoint, so each value suffers one
+        # fp32 quantization of r/outdeg and one of its contribution sum per
+        # iteration (~6e-8 relative each) — the
         # test1.graph golden stays within its 1e-6 tolerance (parity test
         # pins this). This is the practical half of the reference's -single
         # mode (src/pagerank32c.c:933-938): its fp32 ACCUMULATION under
@@ -578,8 +619,12 @@ class PageRank:
                     [(int(b), str(p)) for b, p in manifest["files"]],
                     "block long, path string",
                 )
-                .repartition(nblocks)
                 .localCheckpoint(eager=True)
+            )
+            # co-locate each block's files on ONE task (see the pack-path
+            # comment on the O(P*n) -> O(n) contribution transport)
+            packed = _block_aligned(packed, nblocks, spark).localCheckpoint(
+                eager=True
             )
             return self._iterate_csr(
                 spark, sc, run_id, resume, n, m, nblocks, block_size, n_hubs,
@@ -795,18 +840,32 @@ class PageRank:
                     names=["block", "path"],
                 )
 
-            packed = (
-                _balanced(edges.select("src", "dst"), nblocks)
-                .mapInArrow(pack_files, "block long, path string")
-                .repartition(nblocks)
-                .localCheckpoint(eager=True)
-            )
+            # _block_aligned: co-locate each block's files on ONE task.
+            # Every source partition emits partials for every block it
+            # touches, so without this the iteration's contribution transport
+            # is O(P * n) — each of P tasks ships a full O(n) accumulator set
+            # (measured: 7.7 GB/iteration at n=3e7, P=32; Java heap OOM).
+            # Block-aligned tasks merge a block's partials locally and ship
+            # each block ONCE: O(n + P * n_hubs) per iteration. Explicit
+            # numPartitions keeps AQE from coalescing the tiny path rows.
+            packed = _block_aligned(
+                _balanced(edges.select("src", "dst"), nblocks).mapInArrow(
+                    pack_files, "block long, path string"
+                ),
+                nblocks,
+                spark,
+            ).localCheckpoint(eager=True)
         else:
-            packed = (
-                _balanced(edges.select("src", "dst"), nblocks)
-                .mapInArrow(pack, packed_schema)
-                .persist()
-            )
+            # same block co-location for in-JVM cells: the binary cells
+            # shuffle ONCE here (pack time) so each iteration task owns one
+            # block outright — O(n) contribution transport (see above)
+            packed = _block_aligned(
+                _balanced(edges.select("src", "dst"), nblocks).mapInArrow(
+                    pack, packed_schema
+                ),
+                nblocks,
+                spark,
+            ).persist()
             packed.count()
 
         # outdeg vector -> dangling mask, collected once via Arrow.
@@ -860,9 +919,37 @@ class PageRank:
         out_schema = StructType(
             [
                 StructField("block", LongType(), False),
+                StructField("off", LongType(), False),
                 StructField("contrib", BinaryType(), False),
             ]
         )
+        # per-row contribution payload cap, in VALUES (2 MB fp64 / 1 MB
+        # fp32), one Arrow batch per chunk: a block's partial vector is
+        # O(n/nblocks) and shipping it as ONE binary cell makes the Arrow
+        # writer allocate whole-blob direct buffers — 32 concurrent tasks x
+        # multi-MB blobs blew netty's 8 GiB MaxDirectMemorySize at n=3e7
+        # (reproduced). Bounded chunks keep direct-memory use flat no matter
+        # how big n/nblocks grows; the driver reassembles by (block, off).
+        chunk_vals = 1 << 18
+
+        def emit_contrib_chunks(acc, out_dtype):
+            """Yield each block's partial vector as bounded Arrow batches
+            (block, off, contrib) — transported in rank_dtype (fp32 halves
+            the O(V) pull; accumulation in the tasks and the driver merge
+            stay fp64, and stripes are disjoint so this is ONE quantization
+            per value)."""
+            for b, a in acc.items():
+                av = a.astype(out_dtype, copy=False)
+                for lo in range(0, av.shape[0], chunk_vals):
+                    seg = av[lo : lo + chunk_vals]
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([b], type=pa.int64()),
+                            pa.array([lo], type=pa.int64()),
+                            pa.array([seg.tobytes()]),
+                        ],
+                        names=["block", "off", "contrib"],
+                    )
 
         deltas: list[float] = []
         iter_secs: list[float] = []
@@ -908,13 +995,7 @@ class PageRank:
                                 dstl[lo : lo + clen], weights=w, minlength=ml
                             )
                 if acc:
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(list(acc.keys()), type=pa.int64()),
-                            pa.array([a.tobytes() for a in acc.values()]),
-                        ],
-                        names=["block", "contrib"],
-                    )
+                    yield from emit_contrib_chunks(acc, rwv.dtype)
 
             def spmv_files(
                 batches: Iterator[pa.RecordBatch],
@@ -982,26 +1063,35 @@ class PageRank:
                                 _read_exact(f, memoryview(dbuf)[:clen].cast("B"))
                                 a += np.bincount(dbuf[:clen], weights=w, minlength=ml)
                 if acc:
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(list(acc.keys()), type=pa.int64()),
-                            pa.array([a.tobytes() for a in acc.values()]),
-                        ],
-                        names=["block", "contrib"],
-                    )
+                    yield from emit_contrib_chunks(acc, rwv.dtype)
 
             fn = spmv_files if scratch is not None else spmv
-            rows = packed.mapInArrow(fn, out_schema).collect()
+            # Arrow batch pull, NOT collect(): the contribution payload is
+            # O(V) (nblocks x ml values/iter — 240 MB fp64 at n=3e7) and Row
+            # materialization of binary columns serializes it through the
+            # driver one object at a time. Same convention as
+            # _try_resume_vector / _checkpoint_vector.
+            tbl = packed.mapInArrow(fn, out_schema).toArrow()
             contrib = np.zeros(n)
-            for row in rows:
-                b = row["block"]
-                arr = np.frombuffer(row["contrib"], dtype=np.float64)
+            blk_col = tbl.column("block").to_pylist()
+            off_col = tbl.column("off").to_pylist()
+            bin_col = tbl.column("contrib")
+            for i, b in enumerate(blk_col):
+                arr = np.frombuffer(bin_col[i].as_py(), dtype=self.rank_dtype)
+                off = off_col[i]
                 # interleaved blocks: block b owns global ids b, b+nblocks, ...
                 stripe = contrib[b::nblocks]
-                stripe += arr[: stripe.shape[0]]
-                if n_hubs:
+                s_len = stripe.shape[0]  # <= block_size (tail padding unused)
+                if off < s_len:
+                    e = min(off + arr.shape[0], s_len)
+                    # upcast add: driver merge stays fp64
+                    stripe[off:e] += arr[: e - off]
+                if n_hubs and off + arr.shape[0] > block_size:
                     # hub partial sums live in slots [bs, bs+n_hubs)
-                    contrib[hub_ids] += arr[block_size : block_size + n_hubs]
+                    h0 = max(off, block_size) - block_size
+                    a0 = max(off, block_size) - off
+                    hseg = arr[a0:]
+                    contrib[hub_ids[h0 : h0 + hseg.shape[0]]] += hseg
             b_rw.destroy()
 
             dmass = pi[dangling].sum()

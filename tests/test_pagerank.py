@@ -229,6 +229,69 @@ def test_rank_dtype_validation():
         PageRank(rank_dtype="float16")
 
 
+def test_block_aligned_exact_placement(spark):
+    """_block_aligned must land block b on partition b exactly — hash
+    repartition alone collides for a small key domain (several blocks on one
+    task = worst-task iteration latency), and repartitionByRange samples its
+    child, re-executing the side-effecting pack stage (reproduced: manifest
+    vs on-disk file divergence in test_pack_key_binds_graph_identity)."""
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.algorithms.pagerank import _block_aligned
+
+    for nblocks in (2, 7, 32):
+        df = spark.range(0, nblocks * 5).select(
+            (F.col("id") % nblocks).alias("block"), F.col("id").alias("v")
+        )
+        out = _block_aligned(df, nblocks, spark).select(
+            "block", F.spark_partition_id().alias("pid")
+        )
+        rows = out.collect()
+        assert len(rows) == nblocks * 5
+        assert all(r["block"] == r["pid"] for r in rows), nblocks
+
+
+@pytest.mark.parametrize("storage", ["cells", "files"])
+@pytest.mark.parametrize("dtype", ["float64", "float32"])
+def test_csr_contrib_chunked_merge(spark, storage, dtype):
+    """The per-iteration contribution pull ships as bounded (block, off,
+    contrib) Arrow chunks (one giant per-block blob blew netty's direct
+    memory at n=3e7); the driver reassembles stripe segments by offset and
+    hub partials past the block_size boundary. Two shapes pin the merge:
+    a 400-spoke star (hub-slot path: indeg 400 > threshold 100) and an
+    n=600k sparse graph with num_blocks=2 (ml=300k > the 256k chunk cap, so
+    every block arrives as MULTIPLE chunks crossing the stripe/hub split)."""
+    import numpy as np
+
+    from pagerank_spark.oracle import pagerank_numpy
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    tol = 1e-6 if dtype == "float32" else 1e-9
+
+    # star: 400 spokes -> node 0 (plus a back-edge so 0 isn't dangling)
+    star = np.array([(i, 0) for i in range(1, 401)] + [(0, 1)], dtype=np.int64)
+    want, want_it, _ = pagerank_numpy(star, 401)
+    res = PageRank(mode="csr", csr_storage=storage, rank_dtype=dtype).run(
+        edges_from_numpy(spark, star), 401
+    )
+    got = ranks_to_numpy(res.ranks, 401)
+    assert res.iterations == want_it
+    assert np.abs(got - want).max() < tol
+
+    # multi-chunk: n=600k, nblocks=2 -> block stripe 300k values > 2^18 cap
+    n, m = 600_000, 120_000
+    edges = synthetic_edges(spark, n, m, seed=5, num_partitions=4)
+    pdf = edges.toPandas()
+    e_np = np.stack([pdf["src"].to_numpy(), pdf["dst"].to_numpy()], axis=1)
+    res = PageRank(
+        mode="csr", csr_storage=storage, num_blocks=2, rank_dtype=dtype,
+        max_iter=3, eps=0.0,
+    ).run(edges, n)
+    want3, _, _ = pagerank_numpy(e_np, n, max_iter=3, eps=0.0)
+    got = res.ranks.orderBy("id").toPandas()["rank"].to_numpy()
+    assert np.abs(got - want3).max() < tol
+
+
 def test_dataframe_mode_hints_on_large_n(spark, monkeypatch):
     """Above BROADCASTABLE_N the O(n) join sides (degrees, src_ids, contribs)
     must be shuffle_hash-hinted inside _run_dataframe itself (reproduced
