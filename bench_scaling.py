@@ -192,7 +192,10 @@ def main() -> None:
         # shared memory wall, but hypervisor steal varies minute to minute —
         # re-measure with a FRESH hardware probe per trial so a failing
         # number always ships with the concurrent memcpy/CPU envelope that
-        # explains it (and a passing one gets caught if a quiet window opens)
+        # explains it. The HEADLINE is the MEDIAN of all trials (lower
+        # median on even counts), NOT the best: a one-sided "retry while
+        # failing, keep the max" loop would let noise push the gate only
+        # toward PASS (round-4 ADVICE). All trials stay disclosed.
         lo0, hi0 = pairs[0]
         eff0 = (results[hi0]["edges_per_sec_per_iter"]
                 / results[lo0]["edges_per_sec_per_iter"]) / (hi0 / lo0)
@@ -210,11 +213,15 @@ def main() -> None:
                    / r_lo["edges_per_sec_per_iter"]) / (hi0 / lo0)
             trials.append({"trial": t, "efficiency": round(eff, 3),
                            "probe": probe, "lo": r_lo, "hi": r_hi})
-            if eff > eff0:  # headline = best trial (all trials disclosed)
-                eff0 = eff
-                results[lo0], results[hi0] = r_lo, r_hi
-                ceiling = probe
+            # retry only re-measures while below target (bounded by
+            # --retries); the median promotion below is noise-symmetric
+            eff0 = eff
             t += 1
+        ordered = sorted(trials, key=lambda tr: tr["efficiency"])
+        med = ordered[(len(ordered) - 1) // 2]  # lower median: conservative
+        eff0 = med["efficiency"]
+        results[lo0], results[hi0] = med["lo"], med["hi"]
+        ceiling = med["probe"]
 
         if args.cells:
             try:
@@ -254,11 +261,13 @@ def main() -> None:
         "fp32_highest_cores": fp32_run,
         "hardware_ceiling": ceiling,
         # 'efficiency'/'pass' refer to the FIRST pair (the instructed
-        # local[8]->local[32] point — honest headline); 'pass_any_pair'
-        # reflects the documented-ceiling reading (see BENCH/BASELINE.md for
-        # why the saturated 8->32 point understates executor scaling on this
-        # shared-memory box)
+        # local[8]->local[32] point — honest headline) and, when the retry
+        # loop ran, are the MEDIAN of all trials (never the max — round-4
+        # ADVICE); 'pass_any_pair' reflects the documented-ceiling reading
+        # (see BENCH/BASELINE.md for why the saturated 8->32 point
+        # understates executor scaling on this shared-memory box)
         "efficiency": headline["efficiency"],
+        "headline_policy": "median_of_trials",
         "target": 0.8,
         "pass": headline["efficiency"] >= 0.8,
         "pass_any_pair": any(p["efficiency"] >= 0.8 for p in pair_rows),

@@ -242,9 +242,11 @@ class PageRank:
         # the rank vector outgrows cache). ACCUMULATION STAYS fp64: the rank
         # vector itself, the per-block bincount partials, the driver-side
         # stripe merge, and the residual / dangling-mass scalars are all
-        # double; block stripes are disjoint, so each value suffers one
-        # fp32 quantization of r/outdeg and one of its contribution sum per
-        # iteration (~6e-8 relative each) — the
+        # double. Per iteration each value suffers one fp32 quantization of
+        # r/outdeg plus one per contributing TASK partial — hub ids merge up
+        # to nblocks independently quantized nonnegative partials, which
+        # keeps the same ~6e-8 RELATIVE error (nonnegative terms can't
+        # cancel) though not a literal single quantization — and the
         # test1.graph golden stays within its 1e-6 tolerance (parity test
         # pins this). This is the practical half of the reference's -single
         # mode (src/pagerank32c.c:933-938): its fp32 ACCUMULATION under
@@ -936,8 +938,15 @@ class PageRank:
             """Yield each block's partial vector as bounded Arrow batches
             (block, off, contrib) — transported in rank_dtype (fp32 halves
             the O(V) pull; accumulation in the tasks and the driver merge
-            stay fp64, and stripes are disjoint so this is ONE quantization
-            per value)."""
+            stay fp64). Quantization count per value: a destination id can
+            receive one fp32-quantized partial from EACH task that holds
+            in-edges to its stripe, so hub ids accumulate up to nblocks
+            independently quantized nonnegative partials — each carrying the
+            same ~6e-8 relative error, so the merged sum keeps that relative
+            bound (errors on nonnegative terms can't cancel the magnitude);
+            it is NOT a single quantization per value. Grows with nblocks
+            only in count, not in relative error — revisit the golden 1e-6 /
+            1e-7 tolerances if the bound or nblocks regime changes."""
             for b, a in acc.items():
                 av = a.astype(out_dtype, copy=False)
                 for lo in range(0, av.shape[0], chunk_vals):
@@ -1159,6 +1168,20 @@ class PageRank:
         meta = self.catalog.current_meta(table)
         if meta is None:
             return None
+        s = meta.summary
+        # dataframe/broadcast state is (id, rank, non_dangling) + dmass/total
+        # in the summary; csr (and pre-round-4 broadcast) checkpoints are the
+        # bare vector (id, rank) with only {iteration}. Resuming the wrong
+        # format used to surface as KeyError('dmass') / missing-column errors
+        # deep inside _df_iteration (round-4 ADVICE) — fail loud instead.
+        if "dmass" not in s or "total" not in s:
+            raise ValueError(
+                f"checkpoint '{table}' was written by a vector-mode run "
+                "(csr, or a pre-0.4 broadcast engine): its summary has no "
+                "dmass/total. Resume it with mode='csr', or restart the run "
+                "(delete the checkpoint table) to use dataframe/broadcast "
+                "mode."
+            )
         # statically planned checkpoint keeps the hash(id) partitioning so
         # the resumed iteration chain stays 1-shuffle (see _df_iteration)
         with _util.static_plan(spark):
@@ -1167,7 +1190,12 @@ class PageRank:
                 .repartition(shuffle_p, "id")
                 .localCheckpoint(eager=True)
             )
-        s = meta.summary
+        if "non_dangling" not in df.columns:
+            raise ValueError(
+                f"checkpoint '{table}' is missing the non_dangling column "
+                "expected by dataframe/broadcast state — it was written by "
+                "a vector-mode run; resume with mode='csr' or restart."
+            )
         return df, int(s["iteration"]), float(s["dmass"]), float(s["total"])
 
     def _checkpoint_vector(self, spark: SparkSession, run_id: str, it: int, pi: np.ndarray):

@@ -379,6 +379,47 @@ def _raw_y4m(b: bytes) -> tuple[np.ndarray, int]:
     return np.stack(frames), fps
 
 
+def expected_media_features(n: int, seed: int = 42) -> list[tuple]:
+    """Construction-derived oracle rows for ``decode_media`` over
+    ``generate_real_media(n, seed)`` — computed WITHOUT calling any encoder
+    or decoder, so pinning against it proves the BMP/WAV/Y4M containers
+    round-trip content exactly (not merely that the same code ran twice).
+
+    Mirrors only (a) ``make_real_media``'s RNG draw sequence (kind by
+    ``media_id % 3``, dimensions from ``default_rng([seed, media_id])``) and
+    (b) the DOCUMENTED analysis-frame semantics from the module docstring:
+    image grayscale = floor RGB mean per pixel, audio intensity =
+    ``|amp| * 255 // 32767``, video = raw Y plane. Intensity is returned as
+    the exact integer SUM over all analysis-frame cells (no floats anywhere,
+    so the SQL comparison is integer-exact).
+
+    Returns [(media_id, kind, width, height, n_frames, intensity_sum)].
+    """
+    kinds = list(_KINDS)
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        rng = np.random.default_rng([seed, i])
+        if kind == "image":
+            w, h = int(rng.integers(4, 64)), int(rng.integers(4, 64))
+            rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            isum = int((rgb.astype(np.uint16).sum(axis=2) // 3).sum())
+            fr = 1
+        elif kind == "audio":
+            ch = int(rng.integers(1, 3))
+            ns = int(rng.integers(256, 4096))
+            samples = rng.integers(-32768, 32768, size=(ch, ns), dtype=np.int16)
+            isum = int((np.abs(samples.astype(np.int32)) * 255 // 32767).sum())
+            w, h, fr = ns, ch, 1
+        else:
+            w, h = int(rng.integers(2, 32)) * 2, int(rng.integers(2, 32)) * 2
+            fr = int(rng.integers(2, 16))
+            frames = rng.integers(0, 256, size=(fr, h, w), dtype=np.uint8)
+            isum = int(frames.sum(dtype=np.int64))
+        rows.append((i, kind, w, h, fr, isum))
+    return rows
+
+
 def _container_len(kind: str, w: int, h: int, fr: int) -> int:
     """Closed-form byte length of a payload our encoders produce for the
     given decoded dimensions — an arithmetic cross-check on the decode,

@@ -71,6 +71,20 @@ def test_resume_matches_uninterrupted(spark, cat, golden):
     np.testing.assert_allclose(got, expected, atol=1e-6)
 
 
+def test_resume_rejects_vector_checkpoint_with_clear_error(spark, cat, golden):
+    """A checkpoint written by a vector-mode run (csr: bare (id, rank),
+    summary={iteration}) must make a dataframe/broadcast-mode resume fail
+    LOUD with a mode-mismatch message — not a KeyError('dmass') deep inside
+    _df_iteration (round-4 ADVICE)."""
+    arr, n, _ = golden
+    edges = edges_from_numpy(spark, arr)
+    PageRank(max_iter=2, mode="csr", catalog=cat).run(edges, n, run_id="mix")
+    with pytest.raises(ValueError, match="vector-mode"):
+        PageRank(mode="dataframe", catalog=cat).run(
+            edges, n, run_id="mix", resume=True
+        )
+
+
 def test_resume_vector_uses_arrow_not_collect(spark, cat, golden):
     """The csr/vector resume path must rebuild the rank vector via an Arrow
     batch transfer, never a per-row collect() (O(n) Row objects on the
