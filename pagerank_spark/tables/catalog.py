@@ -32,6 +32,24 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same snapshot id first.
+
+    Raised by :meth:`Catalog.write` when the atomic manifest-claim loses a
+    race: both writers read the same parent snapshot and tried to create
+    ``v<k+1>.json``; exactly one hard-link create wins, the other gets this
+    error and nothing it wrote is visible (its data dir becomes crash-debris
+    that ``expire_snapshots`` age-gates away). Retry by calling ``write``
+    again AFTER the winner's pointer flip lands — the retry re-reads the
+    current pointer and targets the next id. If the winner crashed between
+    its claim and its pointer flip, the orphaned manifest blocks that id
+    until ``expire_snapshots``'s orphan TTL clears it — the same age gate
+    that protects in-flight writers. This is the single-catalog analog of
+    Iceberg's optimistic-concurrency CommitFailedException; a real Iceberg
+    backend swap-in replaces this with its own commit arbitration.
+    """
+
+
 @dataclass
 class TableMeta:
     table: str
@@ -143,11 +161,28 @@ class Catalog:
             "data_dir": data_rel,
             "summary": {**(summary or {}), "data_dirs": json.dumps(data_dirs)},
         }
+        # atomic manifest CLAIM, not a plain write: two concurrent writers
+        # that both read parent k race to create v<k+1>.json, and open("w")
+        # would let the second silently clobber the first's committed
+        # manifest (lost update with both callers reporting success).
+        # link(2) is atomic-fail-if-exists on POSIX, so exactly one wins;
+        # the loser raises CommitConflictError with its data dir left as
+        # age-gated debris for expire_snapshots.
         mpath = os.path.join(self._meta_dir(table), f"v{snapshot_id}.json")
-        with open(mpath, "w") as f:
+        mtmp = mpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(mtmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
+        try:
+            os.link(mtmp, mpath)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"table {table!r}: snapshot {snapshot_id} was committed by a "
+                "concurrent writer; re-read the table and retry the write"
+            ) from None
+        finally:
+            os.unlink(mtmp)
         tmp = self._pointer(table) + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump({"current": snapshot_id}, f)

@@ -230,3 +230,72 @@ def test_expire_dangling_manifest_no_keep_slot(spark, tmp_path):
     res2 = cat.expire_snapshots("t", keep_last=2)
     assert 100 not in res2["expired_snapshots"]
     assert (live / "part.parquet").exists()
+
+
+def test_concurrent_write_conflict_detected(spark, cat):
+    """Two writers that both read parent snapshot k must NOT both claim
+    k+1: the second manifest create has to fail loudly (CommitConflictError)
+    with the winner's committed manifest and pointer untouched — never a
+    silent clobber where both callers report success (VERDICT r4 #8)."""
+    from pagerank_spark.tables.catalog import CommitConflictError
+
+    cat.write(spark.range(5), "t")  # snapshot 0, current -> 0
+    # simulate the racing writer having claimed v1 first (manifest created,
+    # pointer flip may or may not have landed yet — claim alone must win)
+    winner = cat.write(spark.range(10, 15), "t")  # snapshot 1
+    assert winner.snapshot_id == 1
+    before = open(cat._pointer("t")).read()
+    # force the loser to recompute id 1: point it at the stale parent by
+    # racing through the real API — rewind the pointer to 0 as the loser
+    # would have seen it before the winner's flip
+    with open(cat._pointer("t"), "w") as f:
+        json.dump({"current": 0}, f)
+    with pytest.raises(CommitConflictError, match="snapshot 1"):
+        cat.write(spark.range(99, 104), "t")
+    # winner's manifest survived unclobbered; loser changed nothing
+    assert cat.snapshot_meta("t", 1).snapshot_id == 1
+    assert sorted(r["id"] for r in cat.read(spark, "t", snapshot_id=1).collect()) == [
+        10, 11, 12, 13, 14,
+    ]
+    with open(cat._pointer("t"), "w") as f:
+        f.write(before)
+    assert cat.current_meta("t").snapshot_id == 1
+
+
+def test_concurrent_write_threads_one_wins(spark, cat):
+    """True interleaving: N threads commit to the same table at once.
+    Every failure must be a CommitConflictError, at least one commit wins,
+    snapshot ids of winners are distinct, and the final current snapshot
+    reads back as exactly one thread's payload (no torn/merged state)."""
+    import threading
+
+    from pagerank_spark.tables.catalog import CommitConflictError
+
+    cat.write(spark.range(1), "t")
+    results: dict[int, object] = {}
+    barrier = threading.Barrier(4)
+
+    def commit(k: int):
+        barrier.wait()
+        try:
+            results[k] = cat.write(
+                spark.range(k * 100, k * 100 + 5), "t", summary={"writer": str(k)}
+            ).snapshot_id
+        except CommitConflictError as e:
+            results[k] = e
+
+    threads = [threading.Thread(target=commit, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wins = {k: v for k, v in results.items() if isinstance(v, int)}
+    losses = {k: v for k, v in results.items() if not isinstance(v, int)}
+    assert wins, f"no writer committed: {results}"
+    assert all(isinstance(v, CommitConflictError) for v in losses.values())
+    assert len(set(wins.values())) == len(wins)  # distinct snapshot ids
+    cur = cat.current_meta("t")
+    w = int(cur.summary["writer"])
+    assert w in wins
+    got = sorted(r["id"] for r in cat.read(spark, "t").collect())
+    assert got == list(range(w * 100, w * 100 + 5))
