@@ -19,15 +19,26 @@ recurrence is
     B(v, t+1) = B(v, t)  union  U_{(v,w) in E} B(w, t)
 
 which on HLL registers is an elementwise integer ``max`` — associative and
-idempotent, so Spark's partial (map-side) aggregation applies and re-running
-a converged round is a no-op (what makes the unrolled SQL oracle in
-__spark_entry__.py exact).
+idempotent, so re-running a converged round is a no-op (what makes the
+unrolled SQL oracle in __spark_entry__.py exact). The engine adds a
+self-loop (v, v) for every vertex to the cached edge table, which folds the
+"union B(v, t)" term into the same neighbor merge — one aggregation per hop
+and NO own-ball join at all.
 
-Representation: m = 64 registers (b = 6, rsd = 1.04/sqrt(64) ~ 13%) stored
-as 64 small int COLUMNS (r0..r63), not an array — every update compiles to
-whole-stage-codegen ``max``/``greatest`` over flat ints (no higher-order
-array functions, no UDF anywhere). The hash is the engine's md5 convention
-(md5 hex prefix -> 60-bit int), bit-for-bit reproducible in DuckDB
+Representation: m = 64 registers (b = 6, rsd = 1.04/sqrt(64) ~ 13%) PACKED
+8-per-long into 8 BIGINT columns p0..p7 — register j lives in long j >> 3,
+byte lane j & 7 (bits 8*(j&7) .. +8). Values are rho <= 55 so a byte lane
+never overflows and lane extraction (shiftright + & 255) / repacking
+(shiftleft + |) are whole-stage-codegen JVM built-ins — no UDF anywhere.
+Packing matters because UnsafeRow spends 8 bytes per FIELD regardless of
+type: 64 int columns cost ~520 B/vertex through every join, sort, shuffle
+and checkpoint, while 8 longs cost ~88 B — a 6x cut in the bytes every hop
+moves (measured r5: the 64-column layout shipped ~1.7 GB/hop of partial
+aggregation buffers at the 100k-vertex/4M-edge bench graph; the packed raw
+rows ship ~350 MB).
+
+The hash is the engine's md5 convention (md5 hex prefix -> 60-bit int),
+bit-for-bit reproducible in DuckDB
 (``('0x' || substr(md5(x), 1, 15))::UBIGINT``), so the oracle checks the
 registers themselves: register index j = h mod 64, and rho = 1 + leading
 zeros of the remaining 54 bits (1 <= rho <= 55).
@@ -36,15 +47,26 @@ Exactness contract for the oracle: per-vertex ``s_int`` (the integer-scaled
 denominator sum_j 2^(55 - r_j), <= 2^61 so it fits a BIGINT exactly) and
 ``zero_regs`` are pure integers — no float leaves the engine on the checked
 path; the float estimate is a closed-form function of (s_int, zero_regs)
-unit-tested against a pure-Python HLL simulation.
+unit-tested against a pure-Python HLL simulation, and the packed registers
+are asserted bit-equal to that simulation on the micro graphs.
 
 Physical plan per hop (audited in tests/test_plans.py): the edge cache
-carries hash(dst), the state checkpoint keeps hash(id) via
-``util.static_plan``, so the ball-pull join is exchange-free; the ONE
-shuffle is the groupBy(src) register merge (64-wide max, partial agg
-collapses O(E) to O(V) before the wire); the merge-with-own-ball left join
-consumes hash(id) x hash(src) exchange-free. O(V) join sides are
-size-gated against auto-broadcast like every other graph loop.
+(out-edges plus the per-vertex self-loop) carries hash(dst), the state
+checkpoint keeps hash(id) via ``util.static_plan``, so the ball-pull join
+is exchange-free; the ONE shuffle is an explicit repartition of the pulled
+PACKED rows by src feeding an exchange-free groupBy(src) lane-max merge.
+Raw packed rows beat Catalyst's default partial-aggregation exchange here
+for a structural reason: partial buffers are one 8-byte slot per aggregate
+(64 slots, ~520 B/row) and combine only when a src repeats within a
+partition — at P partitions the expected combine ratio is out-degree / P,
+which is BELOW 1 whenever P exceeds the average out-degree (true at any
+realistic cluster size: web pages link to ~tens of pages, clusters run
+thousands of partitions). Shuffling the O(E) 88-byte rows is therefore
+strictly fewer bytes than shuffling the O(min(E, V·P)) 520-byte buffers,
+at bench scale and even more so at 100 TB. Skew note: rows-per-reduce-key
+is OUT-degree (bounded by links-per-page, not the heavy-tailed in-degree);
+in-degree hubs concentrate the ball-pull join's dst partitions exactly as
+they did the old plan — same exposure, no regression.
 """
 
 from __future__ import annotations
@@ -67,30 +89,44 @@ ALPHA_M = 0.7213 / (1.0 + 1.079 / M)  # standard HLL bias constant, m >= 64
 #              = (ALPHA_M * m^2 * 2^55) / s_int      with s_int a BIGINT
 _EST_NUM = ALPHA_M * M * M * float(1 << _RHO_MAX)
 
+NLONGS = 8  # 64 registers / 8 byte-lanes per long
+
 
 def _hash60(col):
     """The engine's md5 60-bit hash (shared definition: util.md5_hash60)."""
     return _util.md5_hash60(col)
 
 
-def _reg_cols():
-    return [f"r{j}" for j in range(M)]
+def _pack_cols():
+    return [f"p{i}" for i in range(NLONGS)]
+
+
+def _lane_sql(j: int) -> str:
+    """SQL for register j extracted from the packed longs (0 <= value <= 55)."""
+    return f"(shiftright(p{j >> 3}, {8 * (j & 7)}) & 255)"
 
 
 def _init_registers(vertices: DataFrame) -> DataFrame:
-    """B(v, 0) = {v}: one register set per vertex. j = h mod 64; rho = 1 +
-    leading zeros of (h >> 6) within 54 bits = 55 - bitlength(h >> 6)."""
+    """B(v, 0) = {v}: one nonzero register per vertex, packed. j = h mod 64;
+    rho = 1 + leading zeros of (h >> 6) within 54 bits = 55 - bitlen(h >> 6);
+    register j is byte lane (j & 7) of long (j >> 3)."""
     h = _hash60(F.col("id"))
-    j = h % M
-    rem = F.shiftright(h, _B)
-    rho = F.when(rem == 0, F.lit(_RHO_MAX)).otherwise(
-        F.lit(_RHO_MAX) - F.length(F.bin(rem))
+    base = vertices.select(
+        "id", (h % M).alias("_j"), F.shiftright(h, _B).alias("_rem")
+    ).withColumn(
+        "_rho",
+        F.when(F.col("_rem") == 0, F.lit(_RHO_MAX)).otherwise(
+            F.lit(_RHO_MAX) - F.length(F.bin(F.col("_rem")))
+        ),
     )
-    return vertices.select(
+    return base.select(
         "id",
         *[
-            F.when(j == k, rho).otherwise(F.lit(0)).cast("int").alias(f"r{k}")
-            for k in range(M)
+            F.expr(
+                f"if(shiftright(_j, 3) = {i}, "
+                f"shiftleft(cast(_rho as bigint), cast((_j & 7) * 8 as int)), 0L)"
+            ).alias(f"p{i}")
+            for i in range(NLONGS)
         ],
     )
 
@@ -117,13 +153,12 @@ def estimate_py(s_int: int, zero_regs: int) -> float:
 
 
 def _summary_cols():
-    """(s_int, zero_regs) from the 64 register columns — exact integers."""
-    # SQL form: the Python F.shiftleft only takes a literal bit count
-    terms = [F.expr(f"shiftleft(1L, {_RHO_MAX} - r{j})") for j in range(M)]
+    """(s_int, zero_regs) from the packed registers — exact integers."""
+    terms = [F.expr(f"shiftleft(1L, {_RHO_MAX} - {_lane_sql(j)})") for j in range(M)]
     s_int = terms[0]
     for t in terms[1:]:
         s_int = s_int + t
-    zeros = [F.when(F.col(f"r{j}") == 0, 1).otherwise(0) for j in range(M)]
+    zeros = [F.when(F.expr(_lane_sql(j)) == 0, 1).otherwise(0) for j in range(M)]
     z = zeros[0]
     for t in zeros[1:]:
         z = z + t
@@ -131,23 +166,30 @@ def _summary_cols():
 
 
 def _hop(e_dst: DataFrame, state: DataFrame, no_bcast) -> DataFrame:
-    """One HyperBall hop as a DataFrame plan: pull out-neighbor counters
-    (join on hash(dst) x the checkpoint's hash(id), exchange-free), merge
-    registers per src (the ONE shuffle; 64-wide max with map-side partials),
-    then fold into the own ball (left join hash(id) x hash(src),
-    exchange-free). Audited by tests/test_plans.py::test_hyperball_hop_single_exchange."""
-    regs = _reg_cols()
-    pulled = e_dst.join(no_bcast(state), e_dst.dst == state.id).select("src", *regs)
-    merged = pulled.groupBy("src").agg(*[F.max(r).alias(r) for r in regs])
-    return state.join(no_bcast(merged), state.id == merged.src, "left").select(
-        state.id,
-        *[
-            F.greatest(state[r], F.coalesce(merged[r], F.lit(0)))
-            .cast("int")
-            .alias(r)
-            for r in regs
-        ],
+    """One HyperBall hop: pull counters along edges (join on hash(dst) x the
+    checkpoint's hash(id), exchange-free — e_dst includes the per-vertex
+    self-loop, so the own ball rides the same pull), repartition the packed
+    88-byte rows by src (the ONE shuffle), and lane-max-merge per src with
+    an exchange-free groupBy. The output aliases src -> id carrying the
+    hash(src) partitioning, so the next hop chains exchange-free. Audited by
+    tests/test_plans.py::test_hyperball_hop_single_exchange."""
+    spark = state.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    packs = _pack_cols()
+    pulled = e_dst.join(no_bcast(state), e_dst.dst == state.id).select("src", *packs)
+    spread = pulled.repartition(shuffle_p, "src")
+    merged = spread.groupBy("src").agg(
+        *[F.max(F.expr(_lane_sql(j))).alias(f"m{j}") for j in range(M)]
     )
+    repacked = [
+        F.expr(
+            " | ".join(
+                f"shiftleft(cast(m{8 * i + k} as bigint), {8 * k})" for k in range(8)
+            )
+        ).alias(f"p{i}")
+        for i in range(NLONGS)
+    ]
+    return merged.select(F.col("src").alias("id"), *repacked)
 
 
 @dataclass
@@ -178,49 +220,72 @@ def hyperball(
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if reverse:
         edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    n_verts = _util.approx_vertex_count(edges)
 
-    def no_bcast(df: DataFrame) -> DataFrame:
-        # above the gate: MERGE, not shuffle_hash — the register state is 65
-        # fixed-width fields (~520 B as UnsafeRow), so per-partition hash
-        # relations of it exhaust execution memory (reproduced at 4M vertices
-        # / 8 GB: "Can't acquire ... to build hash relation"); sort-merge
-        # spills. Both sides are already hash-partitioned on the join key,
-        # so the hint adds sorts, never exchanges (plan-audited).
-        return df if n_verts <= _util.BROADCAST_SAFE_ROWS else df.hint("merge")
-
-    regs = _reg_cols()
-    # ball-pull joins on dst == state.id every hop: cache that layout once
-    e_dst = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(shuffle_p, "dst")
-        .persist()
-    )
-    e_dst.count()
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # ball-pull joins on dst == state.id every hop: cache that layout once.
+    # The per-vertex self-loop folds "union own ball" into the same merge,
+    # deleting the old per-hop own-ball join (and its O(V) sorts at scale).
+    e_dst = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .union(vertices.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+        # repartition BEFORE dedup: hash(dst) clusters (src, dst), so the
+        # dropDuplicates aggregate reuses the exchange — one O(E) shuffle
+        # for the whole setup instead of distinct-then-repartition's two
+        .repartition(shuffle_p, "dst")
+        .dropDuplicates(["src", "dst"])
+        # sort the cache by the join key ONCE: the per-hop sort-merge pull
+        # join then reuses the cached ordering instead of re-sorting the
+        # O(E) side every hop (InMemoryTableScan preserves outputOrdering)
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    e_dst.count()
+    # the cache holds EXACTLY one self-loop per vertex: reuse it as the
+    # vertex table (exact count, no second O(E) distinct scan) for both the
+    # broadcast gate and register init
+    cached_verts = e_dst.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("id")
+    )
+    n_verts = cached_verts.count()
+
+    def no_bcast(df: DataFrame) -> DataFrame:
+        # above the gate: MERGE, not shuffle_hash — even packed (9 fields,
+        # ~88 B as UnsafeRow) an O(V) per-partition hash relation is the
+        # thing that exhausts execution memory first; sort-merge spills.
+        # Both sides are already hash-partitioned on the join key, so the
+        # hint adds sorts, never exchanges (plan-audited).
+        return df if n_verts <= _util.BROADCAST_SAFE_ROWS else df.hint("merge")
+
     with _util.static_plan(spark):
         state = (
-            _init_registers(vertices)
+            _init_registers(cached_verts)
             .repartition(shuffle_p, "id")
             .localCheckpoint(eager=True)
         )
 
     def snapshot(st: DataFrame, t: int) -> DataFrame:
-        # materialize the 4-column summary per hop (id, t, s_int, zero_regs
-        # + est) instead of pinning the 65-column register checkpoint: only
+        # materialize the 4-column summary per hop (id, s_int, zero_regs,
+        # est) instead of pinning the 9-column register checkpoint: only
         # the CURRENT register state stays live, so memory is O(V) summaries
-        # x hops + 2 register tables, not hops x register tables
+        # x hops + 2 register tables, not hops x register tables.
+        # The hop literal ``t`` is added OUTSIDE the checkpointed plan: a
+        # literal inside the projection makes every hop's generated code
+        # unique, defeating the whole-stage-codegen compile cache (~1s of
+        # janino per hop, measured r5); hoisted, hops share one compiled
+        # class.
         s_int, zero_regs = _summary_cols()
-        frame = st.select(
-            "id", F.lit(t).cast("int").alias("t"), s_int, zero_regs
-        ).withColumn("ball_est", estimate_expr(F.col("s_int"), F.col("zero_regs")))
-        return frame.localCheckpoint(eager=True)
+        frame = st.select("id", s_int, zero_regs).withColumn(
+            "ball_est", estimate_expr(F.col("s_int"), F.col("zero_regs"))
+        )
+        ck = frame.localCheckpoint(eager=True)
+        return ck.select(
+            "id", F.lit(t).cast("int").alias("t"), "s_int", "zero_regs", "ball_est"
+        )
 
     def summarize(snap: DataFrame) -> tuple[float, tuple[int, int]]:
         # ONE O(V) scan of the 40-byte summary rows yields both the NF sum
@@ -228,7 +293,7 @@ def hyperball(
         # register rises (a raised register swaps a 2^(55-r) term for a
         # smaller one), so (id, s_int) changes iff the register vector
         # changed — the xor checksum over it is exactly the CC/LP
-        # convergence contract without rescanning the 65-column state.
+        # convergence contract without rescanning the packed state.
         row = snap.agg(
             F.sum("ball_est").alias("nf"),
             F.count(F.lit(1)).alias("c"),

@@ -475,28 +475,31 @@ def test_coreness_round_exchanges_move_only_candidates(spark):
 
 def test_hyperball_hop_single_exchange(spark):
     """A HyperBall hop keeps the iterative-loop contract: the ball-pull join
-    consumes the edge cache's hash(dst) x the state checkpoint's hash(id),
-    the 64-wide register max-merge is the ONE shuffle, and the own-ball fold
-    join consumes hash(id) x hash(src)."""
+    consumes the edge cache's hash(dst) x the state checkpoint's hash(id)
+    (the cache carries per-vertex self-loops, so the own ball rides the same
+    pull — no fold join exists), and the ONE shuffle is the explicit
+    repartition of the packed 9-field rows by src; the lane-max groupBy adds
+    no exchange on top of it."""
     from pagerank_spark.algorithms.hyperball import _hop, _init_registers
     from pagerank_spark.sources.synthetic import synthetic_edges
     from pagerank_spark.util import static_plan
 
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = synthetic_edges(spark, 300, 3000, seed=7, num_partitions=4)
-    e_dst = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(p, "dst")
-        .persist()
-    )
-    e_dst.count()
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
+    e_dst = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .union(verts.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+        .distinct()
+        .repartition(p, "dst")
+        .persist()
+    )
+    e_dst.count()
     with static_plan(spark):
         state = (
             _init_registers(verts).repartition(p, "id").localCheckpoint(eager=True)
@@ -514,9 +517,9 @@ def test_hyperball_hop_single_exchange(spark):
     sh2, _ = _exchanges(_hop(e_dst, state2, no_bcast))
     assert sh2 == 1, f"chained hyperball hop planned {sh2} exchanges, want 1"
 
-    # the real above-gate path hints MERGE (spill-safe for the 65-field
-    # state rows): sort-merge must reuse the same partitionings — still one
-    # exchange, and no hash relation build anywhere
+    # the real above-gate path hints MERGE (spill-safe even for the packed
+    # 9-field state rows): sort-merge must reuse the same partitionings —
+    # still one exchange, and no hash relation build anywhere
     def merge_hint(df):
         return df.hint("merge")
 
