@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """At-scale smokes (not part of the per-round bench: minutes-long).
 
-Run:  python bench_smoke.py [triangles|ngram|labelprop|kcore|scc|hyperball|walks|ppr_batch|spans|bowtie|all]
+Run:  python bench_smoke.py [triangles|ngram|labelprop|kcore|scc|hyperball|walks|ppr_batch|spans|bowtie|all|csr30m|df10m]
+
+(csr30m and df10m are NOT in "all": minutes-long at-scale PageRank smokes,
+run them alone on a quiet box — they feed BENCH/BASELINE.md's at-scale
+sections.)
 
 - triangles: exact triangle count at 10M vertices / 30M edges on local[32]
   (the hint gate flips to shuffle_hash joins here) — proves the
@@ -431,6 +435,132 @@ def smoke_bowtie(spark, n_vertices=1_000_000, n_edges=8_000_000):
     }
 
 
+def smoke_pagerank_csr_30m(spark, n_vertices=30_000_000, n_edges=300_000_000,
+                           iters=5):
+    """The 100x-vertex regime that exposed the O(P*n) contribution transport
+    in round 4 (PLANS.md 'CSR contribution transport at O(n), not O(P*n)'):
+    n=3e7 / m=3e8, csr:files, 32 blocks, local[32]. Before the block-aligned
+    pack this OOMed netty's direct-memory pool or ran ~57 s/iter; the fix
+    ships each block's merged partial exactly once, so per-iteration Arrow
+    traffic is n*dtype_bytes down (chunked pull) + n*dtype_bytes up (rank
+    broadcast). Runs fp64 and fp32 over the SAME packed bytes — this is the
+    rank-vector-in-DRAM regime (240 MB fp64) rank_dtype=float32 exists for.
+    """
+    import tempfile
+
+    from pagerank_spark.algorithms.pagerank import PageRank
+    from pagerank_spark.sources.synthetic import synthetic_edges
+
+    edges = synthetic_edges(spark, n_vertices, n_edges, seed=11,
+                            num_partitions=32)
+    scratch = tempfile.mkdtemp(prefix="csr30m_")
+    out = {"smoke": "pagerank_csr_30m", "n_vertices": n_vertices,
+           "n_edges": n_edges, "mode": "csr:files", "num_blocks": 32}
+    try:
+        for dtype in ("float64", "float32"):
+            t0 = time.time()
+            pr = PageRank(mode="csr", csr_storage="files", max_iter=iters,
+                          eps=0.0, scratch_dir=scratch, reuse_pack=True,
+                          num_blocks=32, rank_dtype=dtype)
+            res = pr.run(edges, n_vertices)
+            secs = sorted(res.iter_seconds[1:])
+            med = secs[len(secs) // 2]
+            nb = 8 if dtype == "float64" else 4
+            out[dtype] = {
+                "iter_seconds": [round(s, 2) for s in res.iter_seconds],
+                "iter_sec_med_excl_warmup": round(med, 3),
+                "edges_per_sec_per_iter": round(n_edges / med, 0),
+                "arrow_pull_mb_per_iter": round(n_vertices * nb / 1e6, 1),
+                "rank_broadcast_mb_per_iter": round(n_vertices * nb / 1e6, 1),
+                "wall_total_s": round(time.time() - t0, 1),
+            }
+    finally:
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+def smoke_pagerank_df_10m(spark, n_vertices=10_000_000, n_edges=40_000_000,
+                          iters=3):
+    """Dataframe mode in its dispatch regime: auto switches to it above
+    2^27 vertices where the driver-assembled CSR vector stops being
+    reasonable; this smoke puts numbers on the beyond-csr path (the largest
+    dataframe-mode measurement was n=4e5 before round 5). Reports
+    per-iteration seconds AND the planned shuffle-exchange count of one
+    iteration at this exact scale (the 1-exchange/iter contract the plan
+    test pins at n=300)."""
+    from pyspark.sql import functions as FF
+
+    from pagerank_spark.algorithms.pagerank import PageRank
+    from pagerank_spark.sources.synthetic import synthetic_edges
+    from pagerank_spark.util import static_plan
+
+    edges = synthetic_edges(spark, n_vertices, n_edges, seed=13,
+                            num_partitions=32).persist()
+    m = edges.count()
+    t0 = time.time()
+    res = PageRank(mode="dataframe", max_iter=iters, eps=0.0).run(
+        edges, n_vertices
+    )
+    res.ranks.count()
+    wall = time.time() - t0
+    secs = sorted(res.iter_seconds[1:]) or res.iter_seconds
+    med = secs[len(secs) // 2]
+
+    # exchange count of one iteration plan at THIS scale (plan-only, not
+    # executed): same walker as tests/test_plans.py::_exchanges
+    def exchanges(df):
+        def walk(jp, acc):
+            name = jp.nodeName()
+            if "Exchange" in name and "Reused" not in name:
+                acc[1 if "Broadcast" in name else 0] += 1
+            ch = jp.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), acc)
+        acc = [0, 0]
+        walk(df._jdf.queryExecution().executedPlan(), acc)
+        return acc[0]
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pr = PageRank()
+    degrees = edges.groupBy("src").agg(FF.count(FF.lit(1)).alias("outdeg"))
+    ew = (
+        edges.join(degrees.hint("shuffle_hash"), "src")
+        .select("src", "dst", (FF.lit(1.0) / FF.col("outdeg")).alias("w"))
+        .repartition(p, "src")
+        .persist()
+    )
+    ew.count()  # materialize: the cache's own build exchanges are pack-time,
+    # not per-iteration — exactly as _run_dataframe amortizes them
+    state0 = (
+        spark.range(0, n_vertices, 1, p)
+        .select("id", FF.lit(1.0 / n_vertices).alias("rank"),
+                FF.lit(True).alias("non_dangling"))
+        .repartition(p, "id")
+    )
+    with static_plan(spark):
+        state = state0.localCheckpoint(eager=True)
+        # compile the audited plan non-adaptively: under AQE the walker sees
+        # only an unexpanded AdaptiveSparkPlan root (0 exchanges, wrongly)
+        sh = exchanges(pr._df_iteration(
+            ew, state, n_vertices, 0.0, 1.0, lambda df: df.hint("shuffle_hash")
+        ))
+    ew.unpersist()
+    edges.unpersist()
+    return {
+        "smoke": "pagerank_df_10m",
+        "n_vertices": n_vertices,
+        "n_edges": m,
+        "mode": "dataframe",
+        "iter_seconds": [round(s, 2) for s in res.iter_seconds],
+        "iter_sec_med_excl_warmup": round(med, 3),
+        "edges_per_sec_per_iter": round(m / med, 0),
+        "planned_shuffle_exchanges_per_iter": sh,
+        "wall_total_s": round(wall, 1),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from pagerank_spark.session import get_spark
@@ -457,6 +587,11 @@ def main() -> None:
         print(json.dumps(smoke_ppr_batch(spark)))
     if which in ("walks", "all"):
         print(json.dumps(smoke_walks(spark)))
+    # NOT in "all": minutes-long at-scale PageRank smokes (quiet box only)
+    if which == "csr30m":
+        print(json.dumps(smoke_pagerank_csr_30m(spark)))
+    if which == "df10m":
+        print(json.dumps(smoke_pagerank_df_10m(spark)))
     spark.stop()
 
 
