@@ -482,7 +482,7 @@ def smoke_pagerank_csr_30m(spark, n_vertices=30_000_000, n_edges=300_000_000,
 
 
 def smoke_pagerank_df_10m(spark, n_vertices=10_000_000, n_edges=40_000_000,
-                          iters=3):
+                          iters=6):
     """Dataframe mode in its dispatch regime: auto switches to it above
     2^27 vertices where the driver-assembled CSR vector stops being
     reasonable; this smoke puts numbers on the beyond-csr path (the largest
