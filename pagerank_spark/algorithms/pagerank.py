@@ -1014,10 +1014,14 @@ class PageRank:
                 # L2-resident chunking: at 64k edges the weight/dst working
                 # set is ~0.7 MB, so the expand+bincount traffic stays in
                 # cache and the only DRAM stream is the ~2.5 B/edge file
-                # read. Measured on this host: the same kernel at 2M-edge
-                # chunks saturates DRAM at ~1.4B edges/s AGGREGATE (no
-                # scaling past 8 cores); at 64k chunks it reaches ~7.5B
-                # edges/s at 32 procs with 0.86 scaling efficiency 8->32.
+                # read. Measured on this host with bench_kernel.py (this
+                # exact loop, multiprocessing, the 1B-edge bench pack,
+                # round 5): 2M-edge chunks run 0.95B edges/s aggregate at
+                # 32 procs; 64k chunks run 2.7-2.8B edges/s at 32 procs
+                # (1p 0.15B / 4p 0.58B / 8p ~1.0B), kernel-only scaling
+                # 1->4 ~0.93 and 8->32 ~0.6-0.7 (the box's DRAM wall —
+                # even plain memcpy scales 8->32 at 0.18-0.42 here, see
+                # BENCH/BASELINE.md).
                 # bincount zeroes+adds an O(ml) output per call, so sub also
                 # scales with ml to keep that amortized when blocks are big.
                 ml = block_size + n_hubs
