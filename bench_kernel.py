@@ -73,9 +73,17 @@ def _init(pack: str, sub_override: int | None) -> None:
 
 
 def _run_shard(paths: list[str]):
-    """One worker's iteration share: same loop as spmv_files (file header ->
-    RLE src runs or plain src + u16/idx dst slots -> sub-chunked gather +
-    bincount scatter-add into the block accumulator)."""
+    """One worker's iteration share: (edges, wall_s, checksum)."""
+    edges, wall, a = run_shard_acc(paths)
+    return edges, wall, float(a.sum())
+
+
+def run_shard_acc(paths: list[str]):
+    """Same loop as spmv_files (file header -> RLE src runs or plain src +
+    u16/idx dst slots -> sub-chunked gather + bincount scatter-add into the
+    block accumulator); returns the raw accumulator so
+    tests/test_bench_kernel.py can pin byte-identical parity with the
+    engine's in-Spark kernel output."""
     rwv = _G["rw"]
     ml = _G["ml"]
     idx_t = _G["idx_t"]
@@ -125,7 +133,7 @@ def _run_shard(paths: list[str]):
                 f.seek(dst_off + lo * dsz)
                 _read_exact(f, memoryview(dbuf)[:clen].cast("B"))
                 a += np.bincount(dbuf[:clen], weights=w, minlength=ml)
-    return edges, time.time() - t0, float(a.sum())
+    return edges, time.time() - t0, a
 
 
 def main() -> None:
